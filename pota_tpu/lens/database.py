@@ -1,0 +1,192 @@
+"""Lens prescription database.
+
+The reference ships 44 fitted lenses whose polynomial coefficients live in
+the unmounted sibling repo ``polynomial-optics`` (SURVEY.md C14/L1); only the
+name tables are in-tree (``include/auto_generated_lens_includes/
+pota_cpp_lenses.h``).  The TPU build therefore re-derives everything from
+element prescriptions: this module provides base designs for each optical
+family in the reference's catalog and scales them to each catalog focal
+length by the focal-length ratio — the same normalize-and-scale scheme the
+reference documents in ``tests/aperture_sampling_debug/lens_writeout.py``
+(rows of ``[radius, thickness, ior, abbe, housing-radius]``).
+
+The base prescriptions are classic public-domain design forms (double Gauss,
+Biotar, Cooke triplet, Petzval, Tessar, Primoplan, fisheye, retrofocus)
+authored for this project: optically sound element stacks of the right type,
+not copies of any fitted data.  Units: mm; ior/abbe at the d-line.  Rows are
+scene->sensor; the aperture stop is the row with radius 0 and ior 1.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+# rows: [radius, thickness, ior, abbe, housing_radius]
+# fmt: off
+BASE_DESIGNS: dict[str, list[list[float]]] = {
+    # 6-element / 4-group double Gauss, ~f/2, efl ~ 100 (normalized by code)
+    "double_gauss": [
+        [ 65.22,  9.60, 1.6779, 55.2, 31.0],
+        [190.00,  0.20, 1.0,     0.0, 31.0],
+        [ 41.80, 12.00, 1.6779, 55.2, 27.0],
+        [104.80,  2.30, 1.6727, 32.2, 27.0],
+        [ 27.00, 12.60, 1.0,     0.0, 19.0],
+        [  0.00, 12.90, 1.0,     0.0, 18.0],   # aperture stop
+        [-31.90,  2.30, 1.6727, 32.2, 19.0],
+        [ 86.90, 11.30, 1.6204, 60.3, 21.0],
+        [-43.40,  0.20, 1.0,     0.0, 21.0],
+        [227.50,  7.00, 1.6779, 55.2, 25.0],
+        [-85.90,  0.00, 1.0,     0.0, 25.0],
+    ],
+    # Biotar/Planar form: double Gauss with thicker menisci, ~f/1.8
+    "biotar": [
+        [ 58.50,  7.60, 1.6204, 60.3, 29.0],
+        [255.00,  0.30, 1.0,     0.0, 29.0],
+        [ 37.60, 11.10, 1.6385, 55.5, 25.0],
+        [ 90.00,  3.10, 1.6398, 34.6, 25.0],
+        [ 25.40, 10.60, 1.0,     0.0, 17.5],
+        [  0.00, 11.00, 1.0,     0.0, 16.5],   # aperture stop
+        [-28.50,  3.10, 1.6398, 34.6, 17.5],
+        [ 95.00, 10.60, 1.6204, 60.3, 19.5],
+        [-40.50,  0.30, 1.0,     0.0, 19.5],
+        [190.00,  6.20, 1.6385, 55.5, 23.0],
+        [-95.00,  0.00, 1.0,     0.0, 23.0],
+    ],
+    # Classic Cooke triplet, ~f/3.5
+    "cooke_triplet": [
+        [ 26.50,  3.20, 1.6110, 58.9, 10.0],
+        [-505.0,  6.00, 1.0,     0.0, 10.0],
+        [-43.65,  1.00, 1.6053, 38.0,  8.0],
+        [ 24.00,  1.00, 1.0,     0.0,  8.0],
+        [  0.00,  5.00, 1.0,     0.0,  7.5],   # aperture stop
+        [190.00,  3.30, 1.6385, 55.5,  9.0],
+        [-27.00,  0.00, 1.0,     0.0,  9.0],
+    ],
+    # Petzval portrait form: two widely-spaced doublets, ~f/3
+    "petzval": [
+        [ 43.30,  8.00, 1.5168, 64.2, 22.0],
+        [-45.00,  3.00, 1.6200, 36.3, 22.0],
+        [-610.0, 30.00, 1.0,     0.0, 22.0],
+        [  0.00, 25.00, 1.0,     0.0, 15.0],   # aperture stop
+        [-60.00,  3.00, 1.6200, 36.3, 18.0],
+        [ 47.00,  1.50, 1.0,     0.0, 18.0],
+        [ 52.00,  7.00, 1.5168, 64.2, 18.0],
+        [-60.00,  0.00, 1.0,     0.0, 18.0],
+    ],
+    # Tessar, ~f/2.8
+    "tessar": [
+        [ 32.20,  6.00, 1.6116, 56.0, 16.0],
+        [-420.0,  3.50, 1.0,     0.0, 16.0],
+        [-40.00,  2.50, 1.6053, 38.0, 13.0],
+        [ 31.00,  2.00, 1.0,     0.0, 12.0],
+        [  0.00,  4.00, 1.0,     0.0, 11.0],   # aperture stop
+        [ 95.00,  2.00, 1.5123, 51.0, 13.0],
+        [ 41.00,  7.00, 1.6116, 56.0, 13.0],
+        [-48.00,  0.00, 1.0,     0.0, 13.0],
+    ],
+    # Primoplan form: 5 elements, fast normal lens ~f/1.9
+    "primoplan": [
+        [ 49.30,  9.00, 1.6700, 47.2, 27.0],
+        [300.00,  0.40, 1.0,     0.0, 27.0],
+        [ 36.00,  9.50, 1.6385, 55.5, 22.0],
+        [ 55.00,  6.80, 1.0,     0.0, 17.0],
+        [  0.00,  8.50, 1.0,     0.0, 15.5],   # aperture stop
+        [-30.00,  2.80, 1.6200, 36.3, 16.0],
+        [200.00,  9.00, 1.6700, 47.2, 18.5],
+        [-52.00,  0.00, 1.0,     0.0, 18.5],
+    ],
+    # Fisheye: two big front negative menisci + positive rear group
+    "fisheye": [
+        [ 88.00,  9.00, 1.6204, 60.3, 55.0],
+        [ 32.00, 22.00, 1.0,     0.0, 32.0],
+        [ 60.00,  6.00, 1.6204, 60.3, 28.0],
+        [ 20.50, 12.00, 1.0,     0.0, 18.0],
+        [-53.00,  3.00, 1.6727, 32.2, 16.0],
+        [ 42.00,  8.00, 1.6385, 55.5, 16.0],
+        [-42.00,  6.00, 1.0,     0.0, 16.0],
+        [  0.00,  4.00, 1.0,     0.0,  9.0],   # aperture stop
+        [ 76.00,  6.00, 1.6385, 55.5, 13.0],
+        [-35.00,  1.50, 1.6727, 32.2, 13.0],
+        [-90.00,  0.40, 1.0,     0.0, 13.0],
+        [ 43.00,  7.00, 1.6204, 60.3, 13.0],
+        [-75.00,  0.00, 1.0,     0.0, 13.0],
+    ],
+    # Retrofocus wide-angle: negative front element + positive rear group
+    "retrofocus": [
+        [ 75.00,  4.00, 1.6204, 60.3, 34.0],
+        [ 28.00, 14.00, 1.0,     0.0, 25.0],
+        [ 95.00,  7.00, 1.6385, 55.5, 22.0],
+        [-160.0,  5.00, 1.0,     0.0, 22.0],
+        [  0.00,  5.50, 1.0,     0.0, 13.0],   # aperture stop
+        [-45.00,  2.50, 1.6398, 34.6, 13.5],
+        [ 60.00,  8.00, 1.6204, 60.3, 15.0],
+        [-42.00,  0.30, 1.0,     0.0, 15.0],
+        [120.00,  5.50, 1.6385, 55.5, 15.0],
+        [-95.00,  0.00, 1.0,     0.0, 15.0],
+    ],
+}
+# fmt: on
+
+# The reference's 44-lens catalog (pota_cpp_lenses.h), mapped to a base
+# design form and target focal length.
+CATALOG: dict[str, tuple[str, float]] = {}
+
+
+def _add(maker_model_year: str, base: str, *fls: int):
+    for fl in fls:
+        CATALOG[f"{maker_model_year}__{fl}mm"] = (base, float(fl))
+
+
+_add("angenieux__double_gauss__1953", "double_gauss", 49, 85, 105, 55)
+_add("asahi__takumar__1969", "biotar", 45, 50, 65, 75, 58, 85)
+_add("asahi__takumar__1970", "tessar", 50)
+_add("asahi__takumar__1970", "retrofocus", 28, 35)
+_add("canon__retrofocus_wideangle__1982", "retrofocus", 22)
+_add("canon__unknown__1956", "cooke_triplet", 35)
+_add("canon__unknown__1956", "double_gauss", 52)
+_add("cooke__speed_panchro__1920", "biotar", 40, 75, 100, 50)
+_add("kodak__petzval__1948", "petzval", 150, 105, 85, 65, 75, 58)
+_add("meyer_optik_goerlitz__primoplan__1936", "primoplan", 58, 75)
+_add("minolta__fisheye__1978", "fisheye", 16, 22, 28)
+_add("nikon__retrofocus_wideangle__1971", "retrofocus", 28, 35)
+_add("nikon__unknown__2014", "double_gauss", 65, 40, 50)
+_add("unknown__petzval__1900", "petzval", 85, 100, 75, 65)
+_add("zeiss__biotar__1927", "biotar", 65, 58, 85, 45)
+
+assert len(CATALOG) == 44, len(CATALOG)
+
+
+def lens_names() -> list[str]:
+    return sorted(CATALOG.keys())
+
+
+def get_lens_rows(name: str) -> np.ndarray:
+    """Prescription rows for a catalog lens, scaled to its focal length.
+
+    Radius/thickness/housing scale by fl_target / fl_base (the scheme in the
+    reference's lens_writeout.py); ior/abbe are unchanged.
+    """
+    from ..optics.raytrace import _paraxial_bfl_efl
+
+    if name in CATALOG:
+        base, fl = CATALOG[name]
+        rows = np.asarray(BASE_DESIGNS[base], np.float64)
+    elif name in BASE_DESIGNS:
+        rows = np.asarray(BASE_DESIGNS[name], np.float64)
+        _, efl = _paraxial_bfl_efl(rows)
+        fl = efl
+    else:
+        raise KeyError(f"unknown lens '{name}'; see lens_names()")
+    _, efl = _paraxial_bfl_efl(rows)
+    ratio = fl / efl
+    scaled = rows.copy()
+    scaled[:, 0] *= ratio
+    scaled[:, 1] *= ratio
+    scaled[:, 4] *= ratio
+    return scaled
+
+
+def get_lens_system(name: str, sensor_width: float = 36.0):
+    from ..optics.raytrace import build_lens_system
+
+    return build_lens_system(get_lens_rows(name), name=name,
+                             sensor_width=sensor_width)

@@ -1,0 +1,127 @@
+"""End-to-end render pipeline: camera rays -> shading -> filter/resolve.
+
+This is the TPU-native equivalent of the reference's render flow
+(zpelgrims/pota): `camera_create_ray` (src/lentil_camera.cpp:78-125) becomes
+a batched trace over the whole frame's sample stream; the `lentil_filter` /
+`imager_lentil` pair (src/lentil_filter.cpp, src/lentil_imager.cpp) becomes
+a scatter-splat + weight-normalize resolve (see render/splat.py).
+
+Rays, shading and splatting are all pure functions of (config, scene, seed),
+so the full frame renders inside one ``jax.jit``.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import CameraConfig, CameraType, RenderConfig
+from ..optics import thinlens
+from . import sampling
+
+
+def _transform_rays(cam_to_world, origins, dirs):
+    """Apply a 4x4 camera->world transform to ray origins/directions."""
+    rot = cam_to_world[:3, :3]
+    trans = cam_to_world[:3, 3]
+    o = origins @ rot.T + trans
+    d = dirs @ rot.T
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    return o, d
+
+
+def trace_camera_rays(cfg: CameraConfig, samples: dict, po_lens=None,
+                      bokeh_cdf=None):
+    """Generate camera-space rays for a sample stream (dispatch by model).
+
+    Equivalent of camera_create_ray minus the derivative rays (those are
+    jvp'd on demand; the reference finite-differences them,
+    src/lentil_camera.cpp:96-119).
+    """
+    if cfg.camera_type == CameraType.THIN_LENS:
+        origin, direction, weight, _tries = thinlens.trace_fw_thinlens(
+            cfg, samples["sx"], samples["sy"], samples["r1"], samples["r2"],
+            retry_key=samples["key"], bokeh_cdf=bokeh_cdf,
+        )
+    else:
+        from ..models.po_camera import trace_fw_po
+        assert po_lens is not None, "polynomial camera requires a fitted lens"
+        origin, direction, weight, _tries = trace_fw_po(
+            cfg, po_lens, samples["sx"], samples["sy"], samples["r1"],
+            samples["r2"], retry_key=samples["key"], bokeh_cdf=bokeh_cdf,
+        )
+    weight = weight * cfg.exposure  # ref src/lentil_camera.cpp:124
+    return origin, direction, weight
+
+
+def render_sample_stream(cfg: CameraConfig, rc: RenderConfig, scene,
+                         cam_to_world, seed: int = 0, po_lens=None,
+                         bokeh_cdf=None) -> dict:
+    """Trace + shade the whole frame; returns the per-sample AOV stream.
+
+    The stream is the TPU analog of Arnold's AA sample iterator contents:
+    rgba, world position P, depth Z, ray direction, per-sample weight, and
+    the pixel bookkeeping needed by the filter stage.
+    """
+    samples = sampling.frame_samples(rc, seed)
+    origin_cs, dir_cs, weight = trace_camera_rays(
+        cfg, samples, po_lens=po_lens, bokeh_cdf=bokeh_cdf
+    )
+    origin_ws, dir_ws = _transform_rays(cam_to_world, origin_cs, dir_cs)
+    shaded = scene.shade(origin_ws, dir_ws)
+    rgba = shaded["rgba"] * weight[:, None]
+    return {
+        **samples,
+        "rgba": rgba,
+        "z": shaded["z"],
+        "P": shaded["P"],
+        "raydir": dir_ws,
+        "weight": weight,
+        "hit": shaded["hit"],
+    }
+
+
+def resolve_gaussian(rc: RenderConfig, stream: dict) -> jnp.ndarray:
+    """Per-pixel gaussian filter over each pixel's own samples.
+
+    Matches the reference's passthrough filter (filter_gaussian_complete,
+    src/lentil.h:736-775): weight = exp(-2 r), r = (2/width)^2 (ox^2+oy^2),
+    rejected when r > 1, normalized by the accumulated weight.
+    """
+    r = (2.0 / rc.filter_width) ** 2 * (stream["ox"] ** 2 + stream["oy"] ** 2)
+    w = jnp.where(r > 1.0, 0.0, jnp.exp(-2.0 * r))
+    rgba_w = stream["rgba"] * w[:, None]
+    h, wres, spp = rc.yres, rc.xres, rc.spp
+    num = rgba_w.reshape(h, wres, spp, 4).sum(axis=2)
+    den = w.reshape(h, wres, spp).sum(axis=2)
+    return num / jnp.maximum(den, 1e-12)[..., None]
+
+
+@partial(jax.jit, static_argnums=(0, 1), static_argnames=("seed",))
+def render_frame_simple(cfg: CameraConfig, rc: RenderConfig, scene,
+                        cam_to_world, seed: int = 0):
+    """Forward-only render (no redistribution): the minimum end-to-end slice."""
+    stream = render_sample_stream(cfg, rc, scene, cam_to_world, seed)
+    return resolve_gaussian(rc, stream)
+
+
+def look_at(eye, target, up=(0.0, 1.0, 0.0)):
+    """Build a camera->world matrix for a camera looking down -z."""
+    import numpy as np
+
+    eye = np.asarray(eye, np.float32)
+    target = np.asarray(target, np.float32)
+    up = np.asarray(up, np.float32)
+    fwd = target - eye
+    fwd = fwd / np.linalg.norm(fwd)
+    right = np.cross(fwd, up)
+    right = right / np.linalg.norm(right)
+    true_up = np.cross(right, fwd)
+    m = np.eye(4, dtype=np.float32)
+    m[:3, 0] = right
+    m[:3, 1] = true_up
+    m[:3, 2] = -fwd
+    m[:3, 3] = eye
+    return jnp.asarray(m)
