@@ -1,0 +1,137 @@
+"""Polynomial-optics forward camera (the flagship model).
+
+TPU-native re-derivation of the reference's trace_ray_fw_po
+(zpelgrims/pota ``src/lentil.h:283-427``): the vignetting-retry while-loop
+becomes a fixed-K batch of candidate aperture samples evaluated in parallel
+with a first-success select; the generated per-lens polynomial dispatch
+becomes data-driven sparse-poly evaluation (:mod:`pota_tpu.optics.polynomial`).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..config import CameraConfig
+from ..optics import geometry as geo
+from ..optics import samplers
+from ..optics.polynomial import (
+    PolyLens,
+    inner_pupil_ok,
+    pt_evaluate,
+    pt_sample_aperture,
+)
+from ..utils import rng as prng
+
+
+def po_sample_aperture_disk(cfg: CameraConfig, r1, r2, bokeh_cdf=None):
+    """PO-path aperture sampler: image-bokeh / plain concentric / blades.
+
+    Mirrors ref src/lentil.h:312-324 — note the PO path uses the *plain*
+    concentric disk (no spherical-abb bias / squircle; those are thin-lens
+    empirical controls).
+    """
+    if cfg.bokeh_enable_image and bokeh_cdf is not None:
+        from ..render.bokeh_image import bokeh_sample
+        return bokeh_sample(bokeh_cdf, r1, r2)
+    if cfg.aperture_blades < 2:
+        return samplers.concentric_disk_sample(r1, r2)
+    return samplers.triangular_aperture_sample(r1, r2, 1.0, cfg.aperture_blades)
+
+
+def trace_fw_po(
+    cfg: CameraConfig,
+    lens: PolyLens,
+    sx,
+    sy,
+    r1,
+    r2,
+    retry_key=None,
+    deriv_ray: bool = False,
+    bokeh_cdf=None,
+    po_state: dict | None = None,
+    newton_iterations: int = 6,
+):
+    """Forward PO trace, batched over rays [N].
+
+    ``po_state`` is the setup dict from
+    :func:`pota_tpu.optics.focus.setup_po_camera` (aperture_radius mm,
+    sensor_shift mm).  Returns (origin [N,3], dir [N,3], weight [N],
+    tries [N]) scaled to scene units, camera looking down -z.
+    """
+    if po_state is None:
+        from ..optics.focus import setup_po_camera
+        po_state = setup_po_camera(lens, cfg)
+    aperture_radius = po_state["aperture_radius"]
+    sensor_shift = po_state["sensor_shift"]
+
+    n_tries = 1 if deriv_ray else cfg.vignetting_retries + 1
+    n = sx.shape[0]
+
+    # sensor light field (identical across retries)
+    sensor_xy = jnp.stack(
+        [sx * (cfg.sensor_width * 0.5), sy * (cfg.sensor_width * 0.5)], -1
+    )
+    lam = jnp.full((n,), cfg.lambda_um, sensor_xy.dtype)
+
+    # K candidate aperture samples
+    if cfg.enable_dof:
+        if n_tries > 1:
+            tries_idx = jnp.arange(1, n_tries, dtype=jnp.uint32)
+            us = prng.uniforms(retry_key[:, None], tries_idx[None, :], 2)
+            r1k = jnp.concatenate([r1[:, None], us[..., 0]], axis=1)
+            r2k = jnp.concatenate([r2[:, None], us[..., 1]], axis=1)
+        else:
+            r1k, r2k = r1[:, None], r2[:, None]
+        unit_disk = po_sample_aperture_disk(cfg, r1k, r2k, bokeh_cdf)
+        aperture = unit_disk * aperture_radius  # [N, K, 2]
+    else:
+        aperture = jnp.zeros((n, n_tries, 2), sensor_xy.dtype)
+
+    sensor5 = jnp.concatenate(
+        [
+            jnp.broadcast_to(sensor_xy[:, None, :], (n, n_tries, 2)),
+            jnp.zeros((n, n_tries, 2), sensor_xy.dtype),
+            jnp.broadcast_to(lam[:, None, None], (n, n_tries, 1)),
+        ],
+        -1,
+    )  # [N, K, 5]
+
+    if cfg.enable_dof:
+        sensor5 = pt_sample_aperture(
+            lens, sensor5, aperture, iterations=newton_iterations
+        )
+
+    # move to the polynomial's sensor plane (ref src/lentil.h:349-350)
+    shifted = sensor5.at[..., 0].add(sensor5[..., 2] * sensor_shift)
+    shifted = shifted.at[..., 1].add(shifted[..., 3] * sensor_shift)
+
+    out4, trans = pt_evaluate(lens, shifted)
+
+    ok = trans > 0.0
+    ok &= (
+        out4[..., 0] ** 2 + out4[..., 1] ** 2
+        <= lens.outer_pupil_radius**2
+    )
+    ok &= inner_pupil_ok(lens, shifted)
+
+    # first-success select over the K candidates
+    first = jnp.argmax(ok, axis=-1)
+    any_ok = jnp.any(ok, axis=-1)
+    take = lambda a: jnp.take_along_axis(a, first[:, None, None], axis=1).squeeze(1)
+    out_sel = take(out4)
+
+    R = lens.outer_pupil_curvature_radius
+    origin, direction = geo.sphere_to_cs(
+        out_sel[..., :2], out_sel[..., 2:4], -R, R
+    )
+
+    scale = cfg.unit_scale_po  # negative: reverses rays + converts mm->units
+    origin = origin * scale
+    direction = direction * scale
+    direction = direction / jnp.maximum(
+        jnp.linalg.norm(direction, axis=-1, keepdims=True), 1e-12
+    )
+
+    finite = jnp.all(jnp.isfinite(origin) & jnp.isfinite(direction), -1)
+    weight = jnp.where(any_ok & finite, 1.0, 0.0)
+    tries = jnp.where(any_ok, first, n_tries).astype(jnp.int32)
+    return origin, direction, weight, tries

@@ -1,0 +1,156 @@
+"""Focus solvers and f-stop calibration for the polynomial-optics camera.
+
+TPU-native equivalents of the reference's setup-time machinery
+(zpelgrims/pota ``src/lentil.h:1316-1563``): the ~20k-candidate logarithmic
+sensor-shift search, the f-stop -> aperture-radius backward scan, and the
+focus sanity check.  Every one of these is an embarrassingly parallel batch
+of polynomial evaluations — the reference's serial loops become single
+vmapped evaluations (SURVEY.md §7.4).
+
+All run once per render setup; selection logic happens on host numpy.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from . import geometry as geo
+from .polynomial import (
+    PolyLens,
+    inner_pupil_ok,
+    lt_sample_aperture,
+    pt_evaluate,
+    pt_sample_aperture,
+)
+
+_BIG = 1e9
+
+
+def logarithmic_shift_candidates(step: float = 1e-4) -> np.ndarray:
+    """Sensor shifts swept by the reference's logarithmic_values
+    (src/lens.h:395-407): sign(i) * i^2 * 45 mm for i in [-1, 1]."""
+    i = np.arange(-1.0, 1.0 + step * 0.5, step)
+    return np.sign(i) * i**2 * 45.0
+
+
+def _axial_probe_distance(lens: PolyLens, shifts, lam: float):
+    """Scene-side y=0 crossing distance of an axial probe ray per shift.
+
+    Vectorized camera_get_y0_intersection_distance (ref src/lentil.h:1361-1386):
+    probe through aperture point (0, housing*0.25), shift the sensor, evaluate,
+    intersect the exit ray with the y=0 plane.
+    """
+    n = shifts.shape[0]
+    sensor = jnp.zeros((n, 5)).at[:, 4].set(lam)
+    ap_target = jnp.tile(
+        jnp.asarray([0.0, lens.aperture_housing_radius * 0.25]), (n, 1)
+    )
+    sensor = pt_sample_aperture(lens, sensor, ap_target)
+    shifted = sensor.at[:, 0].add(sensor[:, 2] * shifts).at[:, 1].add(
+        sensor[:, 3] * shifts
+    )
+    out4, trans = pt_evaluate(lens, shifted)
+    R = lens.outer_pupil_curvature_radius
+    pos, direction = geo.sphere_to_cs(out4[:, :2], out4[:, 2:4], -R, R)
+    hit = geo.line_plane_intersection_y0(pos, direction)
+    ok = (
+        (trans > 0.0)
+        & (out4[:, 0] ** 2 + out4[:, 1] ** 2 <= lens.outer_pupil_radius**2)
+        & inner_pupil_ok(lens, shifted)
+    )
+    return hit[:, 2], ok
+
+
+def logarithmic_focus_search(lens: PolyLens, focus_distance_mm: float,
+                             lam: float = 0.55) -> float:
+    """Best sensor shift (mm) focusing at ``focus_distance_mm``.
+
+    Vectorized version of ref src/lentil.h:1445-1460: among all candidate
+    shifts, pick the one whose probe-ray crossing distance is closest below
+    the target.
+    """
+    shifts = jnp.asarray(logarithmic_shift_candidates(), jnp.float32)
+    dist, ok = _axial_probe_distance(lens, shifts, lam)
+    dist = np.asarray(dist, np.float64)
+    ok = np.asarray(ok)
+    delta = focus_distance_mm - dist
+    candidates = np.where(ok & (delta > 0.0), delta, np.inf)
+    best = int(np.argmin(candidates))
+    if not np.isfinite(candidates[best]):
+        return 0.0
+    return float(np.asarray(shifts)[best])
+
+
+def focus_check(lens: PolyLens, sensor_shift: float, lam: float = 0.55):
+    """Scene distance at which the shifted sensor actually focuses
+    (ref trace_ray_focus_check, src/lentil.h:1316-1357)."""
+    shifts = jnp.asarray([sensor_shift], jnp.float32)
+    dist, ok = _axial_probe_distance(lens, shifts, lam)
+    return float(dist[0]), bool(ok[0])
+
+
+def calibrate_fstop(lens: PolyLens, fstop_target: float, lam: float = 0.55,
+                    n_rays: int = 1000):
+    """F-stop -> aperture radius calibration scan.
+
+    Vectorized trace_backwards_for_fstop (ref src/lentil.h:1390-1441): march
+    parallel-ray heights up the outer pupil, light-trace each to the sensor,
+    measure the marginal-ray angle at the inner pupil, convert to
+    f = 1/(2 sin theta), and return the largest height whose f-number still
+    exceeds the target.
+    """
+    heights = np.arange(1, n_rays) / n_rays * lens.outer_pupil_radius
+    h = jnp.asarray(heights, jnp.float32)
+    target = jnp.stack(
+        [jnp.zeros_like(h), h, jnp.full_like(h, _BIG)], -1
+    )
+    ap = jnp.stack([jnp.full_like(h, 0.01), h], -1)
+    sensor5, out4, trans = lt_sample_aperture(lens, target, ap, lam)
+    ok = (trans > 0.0) & inner_pupil_ok(lens, sensor5)
+
+    Ri = lens.inner_pupil_curvature_radius
+    pos, direction = geo.sphere_to_cs(
+        out4[:, :2], out4[:, 2:4], -Ri + lens.back_focal_length, Ri
+    )
+    theta = jnp.arctan(pos[:, 1] / pos[:, 2])
+    fstop = 1.0 / (jnp.sin(theta) * 2.0)
+
+    fstop = np.asarray(fstop, np.float64)
+    ok = np.asarray(ok)
+    best_f, best_r = 0.0, 0.0
+    for i in range(len(heights)):
+        if not ok[i]:
+            continue
+        if fstop[i] < fstop_target:
+            break
+        best_f, best_r = float(fstop[i]), float(heights[i])
+    return best_f, best_r
+
+
+def setup_po_camera(lens: PolyLens, cfg) -> dict:
+    """Replicate camera_model_specific_setup for PO (ref src/lentil.h:1568-1661).
+
+    Returns the derived state the per-ray tracer needs: focus distance is
+    pre-multiplied x10 (the reference's unit quirk, Appendix B of SURVEY.md),
+    the aperture radius comes from the f-stop calibration, the sensor shift
+    from the logarithmic focus search.
+    """
+    lam = cfg.lambda_um
+    focus_distance = cfg.focus_distance * 10.0
+    if cfg.fstop == 0.0:
+        aperture_radius = lens.aperture_radius_at_fstop
+    else:
+        _, calibrated_r = calibrate_fstop(lens, cfg.effective_fstop, lam)
+        aperture_radius = min(lens.aperture_radius_at_fstop, calibrated_r)
+        if aperture_radius <= 0.0:
+            aperture_radius = lens.aperture_radius_at_fstop
+    sensor_shift = (
+        logarithmic_focus_search(lens, focus_distance, lam)
+        + cfg.extra_sensor_shift
+    )
+    return {
+        "aperture_radius": float(aperture_radius),
+        "sensor_shift": float(sensor_shift),
+        "focus_distance": float(focus_distance),
+        "tan_fov": float(np.tan(lens.fov / 2.0)),
+    }

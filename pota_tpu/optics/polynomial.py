@@ -31,52 +31,75 @@ from . import geometry as geo
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class PolyFunction:
-    """One fitted polynomial map R^5 -> R^O with a shared sparse term set."""
+    """One fitted polynomial map R^5 -> R^O with a shared sparse term set.
 
-    exponents: jnp.ndarray  # [T, 5] int32, total degree bounded
+    ``exponents`` is STATIC (compile-time) data: the monomial structure is
+    baked into the program as a chain of fused elementwise multiplies, while
+    ``coeffs`` stays a live array (the differentiable surface for
+    lens-coefficient gradients).
+    """
+
+    exponents: tuple        # T-tuple of 5-tuples of ints (static aux data)
     coeffs: jnp.ndarray     # [O, T] float32
-    # per-variable scale applied before evaluation (conditioning)
+    # input conditioning applied before evaluation: (x - shift) * scale
     in_scale: jnp.ndarray   # [5]
+    in_shift: jnp.ndarray   # [5]
+    max_degree: int = 0     # static so power tables unroll at trace time
+
+    def __post_init__(self):
+        if not isinstance(self.exponents, tuple):
+            import numpy as _np
+
+            self.exponents = tuple(
+                tuple(int(v) for v in row)
+                for row in _np.asarray(self.exponents)
+            )
 
     def tree_flatten(self):
-        return (self.exponents, self.coeffs, self.in_scale), None
+        return (self.coeffs, self.in_scale, self.in_shift), (
+            self.exponents,
+            self.max_degree,
+        )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children)
+        return cls(aux[0], *children, max_degree=aux[1])
 
-    @property
-    def max_degree(self) -> int:
-        return int(self.exponents.sum(-1).max())
+
+def monomial_basis(exponents: tuple, x, max_degree: int):
+    """Monomials [..., T] for inputs x [..., 5] with static exponents.
+
+    Emits one multiply per nonzero exponent entry using precomputed power
+    tables — pure fused VPU elementwise work, no gathers, no [T, 5]
+    intermediates.
+    """
+    # powers[v][d] = x_v ** d, each [...]
+    powers = []
+    for v in range(5):
+        col = [None, x[..., v]]
+        for d in range(2, max_degree + 1):
+            col.append(col[-1] * x[..., v])
+        powers.append(col)
+    ones = jnp.ones_like(x[..., 0])
+    monos = []
+    for term in exponents:
+        m = None
+        for v, e in enumerate(term):
+            if e:
+                f = powers[v][e]
+                m = f if m is None else m * f
+        monos.append(ones if m is None else m)
+    return jnp.stack(monos, -1)
 
 
 def poly_eval(fn: PolyFunction, x5):
     """Evaluate the sparse polynomial at points ``x5`` [..., 5] -> [..., O].
 
-    Monomials are built from a per-variable power table (one gather + product)
-    and contracted against the coefficient matrix — on TPU the contraction is
-    an MXU matmul over [N, T] @ [T, O].
+    The monomial basis is fused elementwise work; the contraction
+    [N, T] @ [T, O] maps onto the MXU.
     """
-    x = x5 * fn.in_scale
-    max_deg = int(jax.core.concrete_or_error(
-        int, fn.exponents.max(), "poly exponents must be static"
-    ))
-    # powers[..., v, d] = x_v ** d
-    pows = [jnp.ones_like(x)]
-    for _ in range(max_deg):
-        pows.append(pows[-1] * x)
-    powers = jnp.stack(pows, -1)  # [..., 5, D+1]
-    # gather monomial factors: [..., T, 5]
-    factors = jnp.take_along_axis(
-        powers[..., None, :, :],
-        jnp.broadcast_to(
-            fn.exponents[..., None], fn.exponents.shape
-        )[None, ...].reshape((1,) * (x.ndim - 1) + fn.exponents.shape + (1,)).squeeze(-1)[..., None]
-        if False else
-        jnp.broadcast_to(fn.exponents[:, :, None], fn.exponents.shape + (1,)),
-        axis=-1,
-    ).squeeze(-1)
-    monomials = jnp.prod(factors, axis=-1)  # [..., T]
+    x = (x5 - fn.in_shift) * fn.in_scale
+    monomials = monomial_basis(fn.exponents, x, fn.max_degree)
     return monomials @ fn.coeffs.T  # [..., O]
 
 
@@ -144,43 +167,104 @@ def aperture_xy(lens: PolyLens, sensor5):
 # ----------------------------------------------------------- pt_sample_aperture
 
 
+def _batched_jacobian(res_fn, s, n_unknowns: int):
+    """Residual + Jacobian columns, fully batched.
+
+    ``res_fn``: [..., n_unknowns] -> [..., n_res].  Returns
+    (residual [..., n_res], jac [..., n_res, n_unknowns]).  Uses
+    ``jax.linearize`` so the primal evaluates once and each Jacobian column
+    is a cheap tangent pull — every pass is a plain batched polynomial
+    evaluation that maps straight onto the MXU (no per-point jacfwd+vmap).
+    """
+    r, lin = jax.linearize(res_fn, s)
+    cols = []
+    for i in range(n_unknowns):
+        tangent = jnp.zeros_like(s).at[..., i].set(1.0)
+        cols.append(lin(tangent))
+    return r, jnp.stack(cols, -1)
+
+
+def _solve2(a, b, c, d, r0, r1):
+    """Closed-form 2x2 solve [[a,b],[c,d]] x = r."""
+    det = a * d - b * c
+    det = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+    return (d * r0 - b * r1) / det, (-c * r0 + a * r1) / det
+
+
+def _solve4_blocked(jac, r):
+    """Closed-form batched 4x4 solve via 2x2-block Schur complement.
+
+    Replaces batched LU (``jnp.linalg.solve``) in the Newton inner loop —
+    pure fused elementwise arithmetic, no library solve.
+    """
+    A = jac[..., :2, :2]
+    B = jac[..., :2, 2:]
+    C = jac[..., 2:, :2]
+    D = jac[..., 2:, 2:]
+    r1, r2 = r[..., :2], r[..., 2:]
+
+    a, b = A[..., 0, 0], A[..., 0, 1]
+    c, d = A[..., 1, 0], A[..., 1, 1]
+    detA = a * d - b * c
+    detA = jnp.where(jnp.abs(detA) < 1e-12, 1e-12, detA)
+    inv = 1.0 / detA
+    # A^{-1} = [[d,-b],[-c,a]] / detA
+    Ainv00, Ainv01 = d * inv, -b * inv
+    Ainv10, Ainv11 = -c * inv, a * inv
+
+    def Ainv_mat(m):  # A^{-1} @ m for m [..., 2, k]
+        row0 = Ainv00[..., None] * m[..., 0, :] + Ainv01[..., None] * m[..., 1, :]
+        row1 = Ainv10[..., None] * m[..., 0, :] + Ainv11[..., None] * m[..., 1, :]
+        return jnp.stack([row0, row1], -2)
+
+    def Ainv_vec(v):  # A^{-1} @ v for v [..., 2]
+        return jnp.stack(
+            [Ainv00 * v[..., 0] + Ainv01 * v[..., 1],
+             Ainv10 * v[..., 0] + Ainv11 * v[..., 1]], -1
+        )
+
+    AinvB = Ainv_mat(B)                               # [..., 2, 2]
+    S = D - jnp.einsum("...ik,...kj->...ij", C, AinvB)  # Schur complement
+    rhs2 = r2 - jnp.einsum("...ik,...k->...i", C, Ainv_vec(r1))
+    x2_0, x2_1 = _solve2(
+        S[..., 0, 0], S[..., 0, 1], S[..., 1, 0], S[..., 1, 1],
+        rhs2[..., 0], rhs2[..., 1],
+    )
+    x2 = jnp.stack([x2_0, x2_1], -1)
+    x1 = Ainv_vec(r1 - jnp.einsum("...ik,...k->...i", B, x2))
+    return jnp.concatenate([x1, x2], -1)
+
+
 def pt_sample_aperture(lens: PolyLens, sensor5, ap_target, iterations: int = 8):
     """Solve sensor directions (dx, dy) so the ray hits ``ap_target`` on the iris.
 
-    Newton iteration with the exact 2x2 Jacobian of the aperture polynomial
+    Batched Newton with the exact 2x2 Jacobian of the aperture polynomial
     (replaces the generated solver, ref src/lentil.h:1272-1291).  Returns the
     updated sensor light field.
     """
     x, y, lam = sensor5[..., 0], sensor5[..., 1], sensor5[..., 4]
     # init: straight line to the aperture point
-    dx0 = (ap_target[..., 0] - x) / lens.aperture_z
-    dy0 = (ap_target[..., 1] - y) / lens.aperture_z
-
-    def residual(d, xi, yi, li, ti):
-        s = jnp.stack([xi, yi, d[0], d[1], li], -1)
-        return poly_eval(lens.ap, s) - ti
-
-    res_jac = jax.jacfwd(residual)
-
-    def one_point(xi, yi, li, ti, d0):
-        def body(_, d):
-            r = residual(d, xi, yi, li, ti)
-            jac = res_jac(d, xi, yi, li, ti)
-            det = jac[0, 0] * jac[1, 1] - jac[0, 1] * jac[1, 0]
-            det = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
-            delta0 = (jac[1, 1] * r[0] - jac[0, 1] * r[1]) / det
-            delta1 = (-jac[1, 0] * r[0] + jac[0, 0] * r[1]) / det
-            return d - jnp.stack([delta0, delta1])
-
-        return jax.lax.fori_loop(0, iterations, body, d0)
-
-    flat = lambda a: a.reshape(-1)
-    d0 = jnp.stack([flat(dx0), flat(dy0)], -1)
-    solved = jax.vmap(one_point)(
-        flat(x), flat(y), flat(lam),
-        ap_target.reshape(-1, 2), d0
+    d0 = jnp.stack(
+        [
+            (ap_target[..., 0] - x) / lens.aperture_z,
+            (ap_target[..., 1] - y) / lens.aperture_z,
+        ],
+        -1,
     )
-    solved = solved.reshape(sensor5.shape[:-1] + (2,))
+
+    def residual(d):
+        s = jnp.stack([x, y, d[..., 0], d[..., 1], lam], -1)
+        return poly_eval(lens.ap, s) - ap_target
+
+    def body(_, d):
+        r, jac = _batched_jacobian(residual, d, 2)
+        det = jac[..., 0, 0] * jac[..., 1, 1] - jac[..., 0, 1] * jac[..., 1, 0]
+        det = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+        d0_ = (jac[..., 1, 1] * r[..., 0] - jac[..., 0, 1] * r[..., 1]) / det
+        d1_ = (-jac[..., 1, 0] * r[..., 0] + jac[..., 0, 0] * r[..., 1]) / det
+        return d - jnp.stack([d0_, d1_], -1)
+
+    solved = jax.lax.fori_loop(0, iterations, body, d0)
     return jnp.concatenate(
         [sensor5[..., :2], solved, sensor5[..., 4:5]], -1
     )
@@ -214,45 +298,42 @@ def lt_sample_aperture(lens: PolyLens, scene_point, ap_point, lam,
     the outer pupil radius like the generated code.
     """
 
-    def residual(s4, li, scn, ti):
-        s = jnp.concatenate([s4, li[None]], -1)
-        ap = poly_eval(lens.ap, s) - ti
-        out = poly_eval(lens.pt, s)
-        pos, direction = _chart_to_cs(lens, out[:4])
-        # shift chart frame (front vertex at z=0) to lens space
-        front_z = lens.back_focal_length + lens.lens_length
-        t = (scn[2] - (pos[2] + front_z)) / jnp.where(
-            jnp.abs(direction[2]) < 1e-9, 1e-9, direction[2]
-        )
-        hit_xy = pos[:2] + t * direction[:2]
-        return jnp.concatenate([ap, hit_xy - scn[:2]], -1)
-
-    res_jac = jax.jacfwd(residual)
-
-    def one_point(scn, ti, li):
-        # init: chief-ray estimate through the lens center
-        x0 = -scn[0] * lens.back_focal_length / scn[2]
-        y0 = -scn[1] * lens.back_focal_length / scn[2]
-        dx0 = (ti[0] - x0) / lens.aperture_z
-        dy0 = (ti[1] - y0) / lens.aperture_z
-        s0 = jnp.stack([x0, y0, dx0, dy0])
-
-        def body(_, s4):
-            r = residual(s4, li, scn, ti)
-            jac = res_jac(s4, li, scn, ti)
-            delta = jnp.linalg.solve(
-                jac + 1e-9 * jnp.eye(4, dtype=jac.dtype), r
-            )
-            return s4 - delta
-
-        return jax.lax.fori_loop(0, iterations, body, s0)
-
-    scene_flat = scene_point.reshape(-1, 3)
-    ap_flat = jnp.broadcast_to(ap_point, scene_point.shape[:-1] + (2,)).reshape(-1, 2)
-    lam_flat = jnp.broadcast_to(lam, scene_point.shape[:-1]).reshape(-1)
-    s4 = jax.vmap(one_point)(scene_flat, ap_flat, lam_flat)
-    s4 = s4.reshape(scene_point.shape[:-1] + (4,))
     lam_b = jnp.broadcast_to(lam, scene_point.shape[:-1])
+    ap_b = jnp.broadcast_to(ap_point, scene_point.shape[:-1] + (2,))
+    front_z = lens.back_focal_length + lens.lens_length
+
+    def residual(s4):
+        s = jnp.concatenate([s4, lam_b[..., None]], -1)
+        ap = poly_eval(lens.ap, s) - ap_b
+        out = poly_eval(lens.pt, s)
+        pos, direction = _chart_to_cs(lens, out[..., :4])
+        # shift chart frame (front vertex at z=0) to lens space
+        dz = jnp.where(
+            jnp.abs(direction[..., 2]) < 1e-9, 1e-9, direction[..., 2]
+        )
+        t = (scene_point[..., 2] - (pos[..., 2] + front_z)) / dz
+        hit_xy = pos[..., :2] + t[..., None] * direction[..., :2]
+        return jnp.concatenate([ap, hit_xy - scene_point[..., :2]], -1)
+
+    # init: chief-ray estimate through the lens center
+    x0 = -scene_point[..., 0] * lens.back_focal_length / scene_point[..., 2]
+    y0 = -scene_point[..., 1] * lens.back_focal_length / scene_point[..., 2]
+    s0 = jnp.stack(
+        [
+            x0,
+            y0,
+            (ap_b[..., 0] - x0) / lens.aperture_z,
+            (ap_b[..., 1] - y0) / lens.aperture_z,
+        ],
+        -1,
+    )
+
+    def body(_, s4):
+        r, jac = _batched_jacobian(residual, s4, 4)
+        delta = _solve4_blocked(jac, r)
+        return s4 - delta
+
+    s4 = jax.lax.fori_loop(0, iterations, body, s0)
     sensor5 = jnp.concatenate([s4, lam_b[..., None]], -1)
 
     out4, trans = pt_evaluate(lens, sensor5)

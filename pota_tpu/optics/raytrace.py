@@ -38,6 +38,7 @@ _LAMBDA_F = 0.4861
 _LAMBDA_C = 0.6563
 
 
+@jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass(frozen=True)
 class LensSystem:
     """Preprocessed element stack in sensor->scene order (jnp arrays).
@@ -72,7 +73,26 @@ class LensSystem:
     inner_pupil_curvature_radius: float  # chart radius for the rear surface
     outer_pupil_curvature_radius: float  # chart radius for the front surface
     fov: float                  # full field of view (radians), from efl+36mm
+    aperture_index: int = -1    # static index of the iris row (rear->front)
     name: str = "unnamed"
+
+    _ARRAY_FIELDS = (
+        "vertex_z", "radius", "housing", "cauchy_a_in", "cauchy_b_in",
+        "cauchy_a_out", "cauchy_b_out", "is_aperture",
+    )
+
+    def tree_flatten(self):
+        children = tuple(getattr(self, f) for f in self._ARRAY_FIELDS)
+        meta = tuple(
+            getattr(self, f.name)
+            for f in dataclasses.fields(self)
+            if f.name not in self._ARRAY_FIELDS
+        )
+        return children, meta
+
+    @classmethod
+    def tree_unflatten(cls, meta, children):
+        return cls(*children, *meta)
 
 
 def _cauchy_from_nd_abbe(nd: float, abbe: float):
@@ -138,12 +158,13 @@ def build_lens_system(rows, name: str = "unnamed",
     )  # medium behind row i (standard)
     a_behind = np.concatenate([cauchy[:, 0], [1.0]])
     b_behind = np.concatenate([cauchy[:, 1], [0.0]])
-    # in reverse travel, BEFORE crossing std-surface i we are in medium(i)
-    # (behind it), AFTER crossing we are in medium(i-1); medium(-1)=air.
-    a_in = np.array([a_behind[i - 1] if i > 0 else 1.0 for i in range(n_surf)])
-    b_in = np.array([b_behind[i - 1] if i > 0 else 0.0 for i in range(n_surf)])
-    a_out = np.array([a_behind[i] for i in range(n_surf)])
-    b_out = np.array([b_behind[i] for i in range(n_surf)])
+    # in reverse travel (sensor->scene), BEFORE crossing std-surface i the
+    # ray is in the medium behind it (= medium(i)); AFTER crossing it is in
+    # the medium in front (= medium(i-1); air for i=0).
+    a_in = np.array([a_behind[i] for i in range(n_surf)])
+    b_in = np.array([b_behind[i] for i in range(n_surf)])
+    a_out = np.array([a_behind[i - 1] if i > 0 else 1.0 for i in range(n_surf)])
+    b_out = np.array([b_behind[i - 1] if i > 0 else 0.0 for i in range(n_surf)])
     a_in, b_in, a_out, b_out = (
         a_in[order], b_in[order], a_out[order], b_out[order]
     )
@@ -173,6 +194,7 @@ def build_lens_system(rows, name: str = "unnamed",
         inner_pupil_curvature_radius=float(-radius_rev[0]),
         outer_pupil_curvature_radius=float(-radius_rev[-1]),
         fov=float(fov),
+        aperture_index=ap_idx_rev,
         name=name,
     )
 
@@ -249,6 +271,7 @@ def _fresnel_unpolarized(cos_i, cos_t, n1, n2):
     return 1.0 - 0.5 * (rs * rs + rp * rp)
 
 
+@jax.jit
 def trace_sensor_to_scene(lens: LensSystem, sensor_lf, aperture_radius=None):
     """Trace 5-D sensor light-field rays through the element stack.
 
@@ -285,8 +308,7 @@ def trace_sensor_to_scene(lens: LensSystem, sensor_lf, aperture_radius=None):
         t, hit, normal, ok = _intersect_surface(pos, direction, vz, rad)
         r2 = hit[..., 0] ** 2 + hit[..., 1] ** 2
         inside = r2 <= lens.housing[k] ** 2
-        is_ap = lens.is_aperture[k] > 0.5
-        if bool(is_ap):
+        if k == lens.aperture_index:  # static branch per lens
             ap_xy = hit[..., :2]
             inside = r2 <= ap_r**2
             new_dir = direction
@@ -314,6 +336,7 @@ def trace_sensor_to_scene(lens: LensSystem, sensor_lf, aperture_radius=None):
     }
 
 
+@jax.jit
 def trace_to_chart(lens: LensSystem, sensor_lf, aperture_radius=None):
     """Trace and return the exit ray in the outer-pupil sphere chart.
 

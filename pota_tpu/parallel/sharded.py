@@ -1,0 +1,127 @@
+"""Multi-chip sharding: rays over the mesh, framebuffers reduced over ICI.
+
+The reference has no distributed layer at all (SURVEY.md §2: thread-parallel
+buckets splatting into shared buffers with tolerated races).  The TPU
+equivalents here, per BASELINE.json's north star:
+
+* **ray/data parallelism**: the frame's sample stream is sharded over the
+  mesh's ``rays`` axis (the analog of Arnold handing buckets to threads);
+* **splat exchange**: each shard scatter-adds into its own full-frame
+  partial buffer; a single ``psum`` over the mesh merges them (the analog of
+  the racy shared buffer — but deterministic).  Because scatter-add is
+  linear, the VJP of the whole splat is clean and the lens-coefficient
+  gradient all-reduce rides the same collective machinery;
+* **tile sharding of the resolve** (and reduce_scatter instead of psum) is
+  the next refinement — the resolve is elementwise so XLA shards it with a
+  sharding constraint for free.
+
+Everything is built on ``shard_map`` over an explicit ``jax.sharding.Mesh``.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..config import CameraConfig, RenderConfig
+from ..render import sampling
+from ..render.renderer import _transform_rays, trace_camera_rays
+from ..render.splat import resolve_imager, splat_frame
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "rays") -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.asarray(devs[:n]), (axis,))
+
+
+def _shard_stream(stream: dict, n_shards: int, idx):
+    """Slice a flat sample stream into this device's contiguous chunk."""
+    total = stream["px"].shape[0]
+    assert total % n_shards == 0, (total, n_shards)
+    chunk = total // n_shards
+    start = idx * chunk
+    return {k: jax.lax.dynamic_slice_in_dim(v, start, chunk, 0) for k, v in stream.items()}
+
+
+def render_frame_sharded(cfg: CameraConfig, rc: RenderConfig, scene,
+                         cam_to_world, mesh: Mesh, seed: int = 0,
+                         po_lens=None, po_state=None):
+    """Full bidirectional render with rays sharded over ``mesh``.
+
+    Each shard traces + shades + splats its slice of the sample stream into
+    a full-frame partial buffer; one psum merges the shards.  Returns the
+    resolved image (replicated).
+    """
+    n_shards = mesh.devices.size
+    axis = mesh.axis_names[0]
+
+    def shard_fn(cam_to_world_l, scene_l, po_lens_l, po_state_l):
+        idx = jax.lax.axis_index(axis)
+        stream = sampling.frame_samples(rc, seed)
+        stream = _shard_stream(stream, n_shards, idx)
+        origin_cs, dir_cs, weight = trace_camera_rays(
+            cfg, stream, po_lens=po_lens_l, po_state=po_state_l
+        )
+        origin_ws, dir_ws = _transform_rays(cam_to_world_l, origin_cs, dir_cs)
+        shaded = scene_l.shade(origin_ws, dir_ws)
+        stream = {
+            **stream,
+            "rgba": shaded["rgba"] * weight[:, None],
+            "z": shaded["z"],
+            "P": shaded["P"],
+            "raydir": dir_ws,
+        }
+        fb = splat_frame(
+            cfg, rc, scene_l, stream, cam_to_world_l,
+            po_lens=po_lens_l, po_state=po_state_l,
+        )
+        fb = {
+            k: jax.lax.psum(v, axis)
+            if k not in ("zmin",) else jax.lax.pmin(v, axis)
+            for k, v in fb.items()
+        }
+        return resolve_imager(rc, fb), fb
+
+    fn = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return fn(cam_to_world, scene, po_lens, po_state)
+
+
+def train_step_sharded(cfg: CameraConfig, rc: RenderConfig, scene,
+                       cam_to_world, mesh: Mesh, target_image,
+                       po_lens, po_state, seed: int = 0):
+    """One differentiable optimization step over the lens polynomial coeffs.
+
+    The full differentiable pipeline of BASELINE config #5: render the frame
+    with rays sharded over the mesh, L2 loss against a target image, and
+    gradients w.r.t. the polynomial coefficients (psum'd automatically by
+    the shard_map transpose).  Returns (loss, grads pytree like
+    (pt_coeffs, ap_coeffs)).
+    """
+
+    def loss_fn(coeffs):
+        lens = jax.tree_util.tree_map(lambda x: x, po_lens)
+        import dataclasses as dc
+        lens = dc.replace(
+            lens,
+            pt=dc.replace(lens.pt, coeffs=coeffs[0]),
+            ap=dc.replace(lens.ap, coeffs=coeffs[1]),
+        )
+        img, _ = render_frame_sharded(
+            cfg, rc, scene, cam_to_world, mesh, seed=seed,
+            po_lens=lens, po_state=po_state,
+        )
+        return jnp.mean((img - target_image) ** 2)
+
+    coeffs = (po_lens.pt.coeffs, po_lens.ap.coeffs)
+    loss, grads = jax.value_and_grad(loss_fn)(coeffs)
+    return loss, grads

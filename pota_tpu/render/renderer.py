@@ -33,7 +33,7 @@ def _transform_rays(cam_to_world, origins, dirs):
 
 
 def trace_camera_rays(cfg: CameraConfig, samples: dict, po_lens=None,
-                      bokeh_cdf=None):
+                      bokeh_cdf=None, po_state=None):
     """Generate camera-space rays for a sample stream (dispatch by model).
 
     Equivalent of camera_create_ray minus the derivative rays (those are
@@ -51,6 +51,7 @@ def trace_camera_rays(cfg: CameraConfig, samples: dict, po_lens=None,
         origin, direction, weight, _tries = trace_fw_po(
             cfg, po_lens, samples["sx"], samples["sy"], samples["r1"],
             samples["r2"], retry_key=samples["key"], bokeh_cdf=bokeh_cdf,
+            po_state=po_state,
         )
     weight = weight * cfg.exposure  # ref src/lentil_camera.cpp:124
     return origin, direction, weight
@@ -58,7 +59,7 @@ def trace_camera_rays(cfg: CameraConfig, samples: dict, po_lens=None,
 
 def render_sample_stream(cfg: CameraConfig, rc: RenderConfig, scene,
                          cam_to_world, seed: int = 0, po_lens=None,
-                         bokeh_cdf=None) -> dict:
+                         bokeh_cdf=None, po_state=None) -> dict:
     """Trace + shade the whole frame; returns the per-sample AOV stream.
 
     The stream is the TPU analog of Arnold's AA sample iterator contents:
@@ -67,7 +68,7 @@ def render_sample_stream(cfg: CameraConfig, rc: RenderConfig, scene,
     """
     samples = sampling.frame_samples(rc, seed)
     origin_cs, dir_cs, weight = trace_camera_rays(
-        cfg, samples, po_lens=po_lens, bokeh_cdf=bokeh_cdf
+        cfg, samples, po_lens=po_lens, bokeh_cdf=bokeh_cdf, po_state=po_state
     )
     origin_ws, dir_ws = _transform_rays(cam_to_world, origin_cs, dir_cs)
     shaded = scene.shade(origin_ws, dir_ws)
@@ -105,6 +106,30 @@ def render_frame_simple(cfg: CameraConfig, rc: RenderConfig, scene,
     """Forward-only render (no redistribution): the minimum end-to-end slice."""
     stream = render_sample_stream(cfg, rc, scene, cam_to_world, seed)
     return resolve_gaussian(rc, stream)
+
+
+@partial(jax.jit, static_argnums=(0, 1), static_argnames=("seed",))
+def render_frame(cfg: CameraConfig, rc: RenderConfig, scene, cam_to_world,
+                 seed: int = 0, po_lens=None, po_state=None, bokeh_cdf=None):
+    """Full pipeline: forward trace + bidirectional redistribution + resolve.
+
+    The TPU equivalent of the reference's complete render flow:
+    camera_create_ray -> filter_pixel (redistribution) -> imager resolve.
+    Returns (resolved RGBA image [H, W, 4], framebuffer dict).
+    """
+    from .splat import resolve_imager, splat_frame
+
+    stream = render_sample_stream(
+        cfg, rc, scene, cam_to_world, seed, po_lens=po_lens,
+        bokeh_cdf=bokeh_cdf, po_state=po_state,
+    )
+    if not rc.enable_redistribution:
+        return resolve_gaussian(rc, stream), {}
+    fb = splat_frame(
+        cfg, rc, scene, stream, cam_to_world, po_lens=po_lens,
+        po_state=po_state, bokeh_cdf=bokeh_cdf,
+    )
+    return resolve_imager(rc, fb), fb
 
 
 def look_at(eye, target, up=(0.0, 1.0, 0.0)):

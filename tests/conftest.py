@@ -3,15 +3,28 @@
 Real TPUs are not needed to develop: sharding is validated on
 ``--xla_force_host_platform_device_count=8`` CPU devices, and numerics run
 f32 on CPU exactly as they would on-chip.
+
+NOTE: this environment injects an `axon` TPU-tunnel backend into every
+python process via sitecustomize (PYTHONPATH=/root/.axon_site) and forces
+``jax_platforms="axon,cpu"``.  Tests must NOT run through the tunnel (slow,
+occasionally hangs on host transfers), so we re-force the platform to cpu
+here before any array is created.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+try:
+    jax.config.update("jax_platforms", "cpu")
+except Exception:
+    pass
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
@@ -19,6 +32,9 @@ import pytest  # noqa: E402
 from pota_tpu.utils.cache import enable_compilation_cache  # noqa: E402
 
 enable_compilation_cache()
+
+assert jax.default_backend() == "cpu", jax.default_backend()
+assert len(jax.devices()) == 8, jax.devices()
 
 
 @pytest.fixture

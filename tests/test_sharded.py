@@ -1,0 +1,54 @@
+"""Sharded rendering on the virtual 8-device CPU mesh."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pota_tpu import CameraConfig, RenderConfig
+from pota_tpu.parallel.sharded import make_mesh, render_frame_sharded
+from pota_tpu.render import scene as sc
+from pota_tpu.render.renderer import look_at, render_frame
+
+CFG = CameraConfig(
+    focal_length=65.0, fstop=1.8, focus_distance=150.0,
+    vignetting_retries=2, max_bidir_samples=8,
+)
+RC = RenderConfig(xres=32, yres=32, spp=2)
+M = look_at([0, 0, 0], [0, 0, -1])
+
+
+@pytest.fixture(scope="module")
+def grid_scene():
+    return sc.lightgrid_scene(n=3, spacing=30.0, z=-400.0, radius=3.0,
+                              intensity=40.0)
+
+
+def test_sharded_matches_single_device(grid_scene):
+    """Sharded render must statistically match the single-device render.
+
+    Exact equality is not expected: XLA fuses the sharded program
+    differently, and marginal comparisons (occlusion/pixel-bounds gates at
+    sphere/frame edges) can flip for a handful of splat lanes.  We require
+    the images to agree on energy and on almost every pixel.
+    """
+    assert len(jax.devices()) >= 8
+    mesh = make_mesh(8)
+    img_sh, _ = render_frame_sharded(CFG, RC, grid_scene, M, mesh, seed=0)
+    img, _ = render_frame(CFG, RC, grid_scene, M, seed=0)
+    a, b = np.asarray(img_sh), np.asarray(img)
+    assert np.isfinite(a).all()
+    # Total energy within 4%: at this tiny resolution the bokeh discs hang
+    # off the frame edge, and fusion-dependent rounding can flip
+    # out-of-bounds gates for edge lanes (dropping/keeping their energy).
+    # At 16x16 with on-frame discs the buffers match bit-exactly (verified).
+    ea, eb = a[..., :3].sum(), b[..., :3].sum()
+    assert abs(ea - eb) <= 0.04 * max(abs(eb), 1e-6), (ea, eb)
+    # <3% of pixels may differ measurably (boundary-flip lanes)
+    frac = (np.abs(a - b).max(-1) > 1e-3).mean()
+    assert frac < 0.03, frac
+
+
+def test_dryrun_multichip_entrypoint():
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
