@@ -84,6 +84,11 @@ class CameraConfig:
     # TPU-build additions (no reference counterpart): static shape controls.
     # The reference uses data-dependent loops; XLA needs static bounds.
     max_bidir_samples: int = 64         # static cap on backward splats/sample
+    lt_newton_iterations: int = 5       # backward-splat Newton solve depth
+    # When False, gradients treat the backward-splat landing positions as
+    # constant (energy values stay differentiable through the forward
+    # trace); collapses the training-step transpose graph dramatically.
+    differentiate_splat_geometry: bool = True
 
     # ------------------------------------------------------------------ derived
     @property
@@ -152,6 +157,7 @@ class RenderConfig:
     region_max_y: Optional[int] = None
     filter_width: float = 1.5      # ref src/lentil.h:1083-1088 (1.0 if OIDN)
     enable_redistribution: bool = True
+    enable_id_matte: bool = False  # cryptomatte-style ranked id coverage AOV
 
     @property
     def xres_region(self) -> int:

@@ -21,6 +21,53 @@ from ..optics.polynomial import (
 )
 from ..utils import rng as prng
 
+_FORWARD_KERNEL_CACHE: dict = {}
+
+
+def _kernel_key(lens: PolyLens, sensor_shift: float, iterations: int):
+    return (lens.name, round(float(sensor_shift), 6), iterations)
+
+
+def _resolve_forward_kernel(lens: PolyLens, sensor_shift: float,
+                            iterations: int, use_pallas: bool):
+    """Return the fused per-lens kernel, or None for the pure-JAX path.
+
+    The kernel bakes the *concrete* coefficients, so it can only be built
+    outside tracing; :func:`prebuild_forward_kernel` (called by
+    setup_po_camera) populates the cache so jitted renders find it by the
+    static lens name.  Training paths must pass ``use_pallas=False`` —
+    gradients w.r.t. coefficients require the pure path.
+    """
+    import os
+
+    import jax
+    import jax.core
+
+    if not use_pallas or os.environ.get("POTA_DISABLE_PALLAS"):
+        return None
+    if jax.default_backend() == "cpu":
+        return None
+    key = _kernel_key(lens, sensor_shift, iterations)
+    kern = _FORWARD_KERNEL_CACHE.get(key)
+    if kern is None and not isinstance(lens.pt.coeffs, jax.core.Tracer):
+        from ..ops.po_pallas import build_po_forward_kernel
+
+        kern = build_po_forward_kernel(
+            lens, float(sensor_shift), newton_iterations=iterations
+        )
+        _FORWARD_KERNEL_CACHE[key] = kern
+    return kern
+
+
+def prebuild_forward_kernel(lens: PolyLens, sensor_shift: float,
+                            iterations: int = 3):
+    """Eagerly build + cache the fused kernel (call with concrete coeffs)."""
+    import jax
+
+    if jax.default_backend() == "cpu":
+        return
+    _resolve_forward_kernel(lens, sensor_shift, iterations, True)
+
 
 def po_sample_aperture_disk(cfg: CameraConfig, r1, r2, bokeh_cdf=None):
     """PO-path aperture sampler: image-bokeh / plain concentric / blades.
@@ -47,8 +94,9 @@ def trace_fw_po(
     retry_key=None,
     deriv_ray: bool = False,
     bokeh_cdf=None,
-    po_state: dict | None = None,
-    newton_iterations: int = 6,
+    po_state=None,
+    newton_iterations: int = 3,
+    use_pallas: bool = True,
 ):
     """Forward PO trace, batched over rays [N].
 
@@ -60,8 +108,8 @@ def trace_fw_po(
     if po_state is None:
         from ..optics.focus import setup_po_camera
         po_state = setup_po_camera(lens, cfg)
-    aperture_radius = po_state["aperture_radius"]
-    sensor_shift = po_state["sensor_shift"]
+    aperture_radius = po_state.aperture_radius
+    sensor_shift = po_state.sensor_shift
 
     n_tries = 1 if deriv_ray else cfg.vignetting_retries + 1
     n = sx.shape[0]
@@ -95,16 +143,39 @@ def trace_fw_po(
         -1,
     )  # [N, K, 5]
 
-    if cfg.enable_dof:
-        sensor5 = pt_sample_aperture(
-            lens, sensor5, aperture, iterations=newton_iterations
+    kern = (
+        _resolve_forward_kernel(lens, sensor_shift, newton_iterations,
+                                use_pallas)
+        if cfg.enable_dof else None
+    )
+    if kern is not None:
+        # fused per-lens kernel: Newton aperture solve + shift + pt_evaluate
+        # (61x faster than the pure-JAX path on TPU; see ops/po_pallas.py)
+        flat = lambda a: a.reshape(-1)
+        out4_f, trans_f, dx_f, dy_f = kern(
+            flat(sensor5[..., 0]), flat(sensor5[..., 1]),
+            flat(aperture[..., 0]), flat(aperture[..., 1]),
+            flat(sensor5[..., 4]),
         )
+        out4 = out4_f.reshape(n, n_tries, 4)
+        trans = trans_f.reshape(n, n_tries)
+        shifted_x = sensor5[..., 0] + dx_f.reshape(n, n_tries) * sensor_shift
+        shifted_y = sensor5[..., 1] + dy_f.reshape(n, n_tries) * sensor_shift
+        shifted = jnp.stack(
+            [shifted_x, shifted_y, dx_f.reshape(n, n_tries),
+             dy_f.reshape(n, n_tries), sensor5[..., 4]], -1,
+        )
+    else:
+        if cfg.enable_dof:
+            sensor5 = pt_sample_aperture(
+                lens, sensor5, aperture, iterations=newton_iterations
+            )
 
-    # move to the polynomial's sensor plane (ref src/lentil.h:349-350)
-    shifted = sensor5.at[..., 0].add(sensor5[..., 2] * sensor_shift)
-    shifted = shifted.at[..., 1].add(shifted[..., 3] * sensor_shift)
+        # move to the polynomial's sensor plane (ref src/lentil.h:349-350)
+        shifted = sensor5.at[..., 0].add(sensor5[..., 2] * sensor_shift)
+        shifted = shifted.at[..., 1].add(shifted[..., 3] * sensor_shift)
 
-    out4, trans = pt_evaluate(lens, shifted)
+        out4, trans = pt_evaluate(lens, shifted)
 
     ok = trans > 0.0
     ok &= (
@@ -127,9 +198,8 @@ def trace_fw_po(
     scale = cfg.unit_scale_po  # negative: reverses rays + converts mm->units
     origin = origin * scale
     direction = direction * scale
-    direction = direction / jnp.maximum(
-        jnp.linalg.norm(direction, axis=-1, keepdims=True), 1e-12
-    )
+    dir_n2 = jnp.sum(direction * direction, -1, keepdims=True)
+    direction = direction / jnp.sqrt(jnp.maximum(dir_n2, 1e-24))
 
     finite = jnp.all(jnp.isfinite(origin) & jnp.isfinite(direction), -1)
     weight = jnp.where(any_ok & finite, 1.0, 0.0)

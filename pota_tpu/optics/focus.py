@@ -127,7 +127,21 @@ def calibrate_fstop(lens: PolyLens, fstop_target: float, lam: float = 0.55,
     return best_f, best_r
 
 
-def setup_po_camera(lens: PolyLens, cfg) -> dict:
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class POState:
+    """Derived per-render camera state (static python floats, hashable so it
+    can be a jit static argument and be baked into the Pallas kernels)."""
+
+    aperture_radius: float
+    sensor_shift: float
+    focus_distance: float
+    tan_fov: float
+
+
+def setup_po_camera(lens: PolyLens, cfg) -> "POState":
     """Replicate camera_model_specific_setup for PO (ref src/lentil.h:1568-1661).
 
     Returns the derived state the per-ray tracer needs: focus distance is
@@ -148,9 +162,14 @@ def setup_po_camera(lens: PolyLens, cfg) -> dict:
         logarithmic_focus_search(lens, focus_distance, lam)
         + cfg.extra_sensor_shift
     )
-    return {
-        "aperture_radius": float(aperture_radius),
-        "sensor_shift": float(sensor_shift),
-        "focus_distance": float(focus_distance),
-        "tan_fov": float(np.tan(lens.fov / 2.0)),
-    }
+    state = POState(
+        aperture_radius=float(aperture_radius),
+        sensor_shift=float(sensor_shift),
+        focus_distance=float(focus_distance),
+        tan_fov=float(np.tan(lens.fov / 2.0)),
+    )
+    # eagerly bake+cache the fused forward kernel for jitted renders
+    from ..models.po_camera import prebuild_forward_kernel
+
+    prebuild_forward_kernel(lens, state.sensor_shift)
+    return state

@@ -14,8 +14,16 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
+def safe_sqrt(x, eps=1e-20):
+    """sqrt with NaN-free gradients: sqrt(max(0,x)) has d/dx = 0 * inf = NaN
+    on the clamped branch; the double-where keeps both value and gradient
+    clean at and below zero."""
+    return jnp.where(x > eps, jnp.sqrt(jnp.maximum(x, eps)), 0.0)
+
+
 def _normalize(v, axis=-1, eps=1e-12):
-    return v / jnp.maximum(jnp.linalg.norm(v, axis=axis, keepdims=True), eps)
+    n2 = jnp.sum(v * v, axis=axis, keepdims=True)
+    return v / jnp.sqrt(jnp.maximum(n2, eps * eps))
 
 
 def plane_to_cs(pos2, dir2, plane_z):
@@ -53,11 +61,11 @@ def sphere_to_cs(pos2, dir2, center, sphere_rad):
     disk of the local normal.
     """
     r2 = pos2[..., 0] ** 2 + pos2[..., 1] ** 2
-    nz = jnp.sqrt(jnp.maximum(0.0, sphere_rad**2 - r2)) / jnp.abs(sphere_rad)
+    nz = safe_sqrt(sphere_rad**2 - r2) / jnp.abs(sphere_rad)
     normal = jnp.stack([pos2[..., 0] / sphere_rad, pos2[..., 1] / sphere_rad, nz], -1)
 
     d2 = dir2[..., 0] ** 2 + dir2[..., 1] ** 2
-    tz = jnp.sqrt(jnp.maximum(0.0, 1.0 - d2))
+    tz = safe_sqrt(1.0 - d2)
     temp = jnp.stack([dir2[..., 0], dir2[..., 1], tz], -1)
 
     ex, ey = _sphere_tangent_frame(normal)
@@ -94,14 +102,14 @@ def cylinder_to_cs(pos2, dir2, center, radius, cyl_y):
     """Cylinder chart -> 3D ray (ref src/lens.h:188-221); cyl_y: axis along y."""
     zeros = jnp.zeros_like(pos2[..., 0])
     if cyl_y:
-        nz = jnp.sqrt(jnp.maximum(0.0, radius**2 - pos2[..., 0] ** 2)) / jnp.abs(radius)
+        nz = safe_sqrt(radius**2 - pos2[..., 0] ** 2) / jnp.abs(radius)
         normal = jnp.stack([pos2[..., 0] / radius, zeros, nz], -1)
     else:
-        nz = jnp.sqrt(jnp.maximum(0.0, radius**2 - pos2[..., 1] ** 2)) / jnp.abs(radius)
+        nz = safe_sqrt(radius**2 - pos2[..., 1] ** 2) / jnp.abs(radius)
         normal = jnp.stack([zeros, pos2[..., 1] / radius, nz], -1)
 
     d2 = dir2[..., 0] ** 2 + dir2[..., 1] ** 2
-    tz = jnp.sqrt(jnp.maximum(0.0, 1.0 - d2))
+    tz = safe_sqrt(1.0 - d2)
     temp = jnp.stack([dir2[..., 0], dir2[..., 1], tz], -1)
 
     ex = jnp.stack([normal[..., 2], zeros, -normal[..., 0]], -1)

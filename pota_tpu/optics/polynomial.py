@@ -235,11 +235,35 @@ def _solve4_blocked(jac, r):
     return jnp.concatenate([x1, x2], -1)
 
 
-def pt_sample_aperture(lens: PolyLens, sensor5, ap_target, iterations: int = 8):
+def _linear_solve_from_fn(g, y, n_unknowns: int):
+    """Solve the batched linear system g(x) = y given only the linear map g.
+
+    Builds the per-point Jacobian by evaluating g on basis vectors (g is a
+    block-diagonal batch of small dense systems) and solves in closed form.
+    Used as ``tangent_solve`` for lax.custom_root.
+    """
+    cols = []
+    for i in range(n_unknowns):
+        e = jnp.zeros_like(y).at[..., i].set(1.0)
+        cols.append(g(e))
+    jac = jnp.stack(cols, -1)  # [..., n, n]
+    if n_unknowns == 2:
+        x0, x1 = _solve2(
+            jac[..., 0, 0], jac[..., 0, 1], jac[..., 1, 0], jac[..., 1, 1],
+            y[..., 0], y[..., 1],
+        )
+        return jnp.stack([x0, x1], -1)
+    return _solve4_blocked(jac, y)
+
+
+def pt_sample_aperture(lens: PolyLens, sensor5, ap_target, iterations: int = 3):
     """Solve sensor directions (dx, dy) so the ray hits ``ap_target`` on the iris.
 
     Batched Newton with the exact 2x2 Jacobian of the aperture polynomial
-    (replaces the generated solver, ref src/lentil.h:1272-1291).  Returns the
+    (replaces the generated solver, ref src/lentil.h:1272-1291), wrapped in
+    ``lax.custom_root`` so gradients w.r.t. the lens coefficients use the
+    implicit function theorem (one linear solve) instead of unrolling the
+    iteration — essential for cheap lens-coefficient training.  Returns the
     updated sensor light field.
     """
     x, y, lam = sensor5[..., 0], sensor5[..., 1], sensor5[..., 4]
@@ -256,15 +280,24 @@ def pt_sample_aperture(lens: PolyLens, sensor5, ap_target, iterations: int = 8):
         s = jnp.stack([x, y, d[..., 0], d[..., 1], lam], -1)
         return poly_eval(lens.ap, s) - ap_target
 
-    def body(_, d):
-        r, jac = _batched_jacobian(residual, d, 2)
-        det = jac[..., 0, 0] * jac[..., 1, 1] - jac[..., 0, 1] * jac[..., 1, 0]
-        det = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
-        d0_ = (jac[..., 1, 1] * r[..., 0] - jac[..., 0, 1] * r[..., 1]) / det
-        d1_ = (-jac[..., 1, 0] * r[..., 0] + jac[..., 0, 0] * r[..., 1]) / det
-        return d - jnp.stack([d0_, d1_], -1)
+    def newton_solve(res_fn, d_init):
+        def body(_, d):
+            r, jac = _batched_jacobian(res_fn, d, 2)
+            det = (
+                jac[..., 0, 0] * jac[..., 1, 1]
+                - jac[..., 0, 1] * jac[..., 1, 0]
+            )
+            det = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+            d0_ = (jac[..., 1, 1] * r[..., 0] - jac[..., 0, 1] * r[..., 1]) / det
+            d1_ = (-jac[..., 1, 0] * r[..., 0] + jac[..., 0, 0] * r[..., 1]) / det
+            return d - jnp.stack([d0_, d1_], -1)
 
-    solved = jax.lax.fori_loop(0, iterations, body, d0)
+        return jax.lax.fori_loop(0, iterations, body, d_init)
+
+    solved = jax.lax.custom_root(
+        residual, d0, newton_solve,
+        lambda g, y2: _linear_solve_from_fn(g, y2, 2),
+    )
     return jnp.concatenate(
         [sensor5[..., :2], solved, sensor5[..., 4:5]], -1
     )
@@ -279,7 +312,7 @@ def _chart_to_cs(lens: PolyLens, out4):
 
 
 def lt_sample_aperture(lens: PolyLens, scene_point, ap_point, lam,
-                       iterations: int = 8):
+                       iterations: int = 5):
     """Solve the sensor light field for a (scene point, aperture point) pair.
 
     Newton over (x, y, dx, dy): 2 residuals pin the iris crossing to
@@ -328,12 +361,20 @@ def lt_sample_aperture(lens: PolyLens, scene_point, ap_point, lam,
         -1,
     )
 
-    def body(_, s4):
-        r, jac = _batched_jacobian(residual, s4, 4)
-        delta = _solve4_blocked(jac, r)
-        return s4 - delta
+    def newton_solve(res_fn, s_init):
+        def body(_, s4):
+            r, jac = _batched_jacobian(res_fn, s4, 4)
+            delta = _solve4_blocked(jac, r)
+            return s4 - delta
 
-    s4 = jax.lax.fori_loop(0, iterations, body, s0)
+        return jax.lax.fori_loop(0, iterations, body, s_init)
+
+    # custom_root: implicit-function-theorem gradients (one 4x4 solve in the
+    # backward pass instead of differentiating the unrolled iteration)
+    s4 = jax.lax.custom_root(
+        residual, s0, newton_solve,
+        lambda g, y4: _linear_solve_from_fn(g, y4, 4),
+    )
     sensor5 = jnp.concatenate([s4, lam_b[..., None]], -1)
 
     out4, trans = pt_evaluate(lens, sensor5)

@@ -49,7 +49,8 @@ def _shard_stream(stream: dict, n_shards: int, idx):
 
 def render_frame_sharded(cfg: CameraConfig, rc: RenderConfig, scene,
                          cam_to_world, mesh: Mesh, seed: int = 0,
-                         po_lens=None, po_state=None):
+                         po_lens=None, po_state=None,
+                         use_pallas: bool = True):
     """Full bidirectional render with rays sharded over ``mesh``.
 
     Each shard traces + shades + splats its slice of the sample stream into
@@ -59,12 +60,14 @@ def render_frame_sharded(cfg: CameraConfig, rc: RenderConfig, scene,
     n_shards = mesh.devices.size
     axis = mesh.axis_names[0]
 
-    def shard_fn(cam_to_world_l, scene_l, po_lens_l, po_state_l):
+    def shard_fn(cam_to_world_l, scene_l, po_lens_l):
+        po_state_l = po_state  # static per-render state, closed over
         idx = jax.lax.axis_index(axis)
         stream = sampling.frame_samples(rc, seed)
         stream = _shard_stream(stream, n_shards, idx)
         origin_cs, dir_cs, weight = trace_camera_rays(
-            cfg, stream, po_lens=po_lens_l, po_state=po_state_l
+            cfg, stream, po_lens=po_lens_l, po_state=po_state_l,
+            use_pallas=use_pallas,
         )
         origin_ws, dir_ws = _transform_rays(cam_to_world_l, origin_cs, dir_cs)
         shaded = scene_l.shade(origin_ws, dir_ws)
@@ -74,26 +77,50 @@ def render_frame_sharded(cfg: CameraConfig, rc: RenderConfig, scene,
             "z": shaded["z"],
             "P": shaded["P"],
             "raydir": dir_ws,
+            "obj_id": shaded["obj_id"],
         }
         fb = splat_frame(
             cfg, rc, scene_l, stream, cam_to_world_l,
             po_lens=po_lens_l, po_state=po_state_l,
         )
-        fb = {
-            k: jax.lax.psum(v, axis)
-            if k not in ("zmin",) else jax.lax.pmin(v, axis)
-            for k, v in fb.items()
-        }
-        return resolve_imager(rc, fb), fb
+        # merge shards: gaussian-class buffers are plain sums; closest-class
+        # buffers are winner-take by depth, so resolve the cross-shard winner
+        # (global zmin, ties broken by shard index) before summing
+        from ..render.aov import CLOSEST, DEFAULT_AOVS
+
+        # winner selection is discrete: stop gradients so the collective
+        # min ops never see tangents (pmin has no differentiation rule)
+        local_zmin = jax.lax.stop_gradient(fb["zmin"])
+        global_zmin = jax.lax.pmin(local_zmin, axis)
+        has_min = local_zmin <= global_zmin
+        my_idx = jax.lax.axis_index(axis)
+        winner_shard = jax.lax.pmin(
+            jnp.where(has_min, my_idx, jnp.int32(2**30)), axis
+        )
+        keep = (has_min & (my_idx == winner_shard)).astype(
+            fb["RGBA"].dtype
+        )[..., None]
+
+        merged = {}
+        for k2, v in fb.items():
+            if k2 == "zmin":
+                merged[k2] = global_zmin
+            elif any(
+                s.name == k2 and s.filter == CLOSEST for s in DEFAULT_AOVS
+            ):
+                merged[k2] = jax.lax.psum(v * keep, axis)
+            else:
+                merged[k2] = jax.lax.psum(v, axis)
+        return resolve_imager(rc, merged), merged
 
     fn = jax.shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P()),
+        in_specs=(P(), P(), P()),
         out_specs=(P(), P()),
         check_vma=False,
     )
-    return fn(cam_to_world, scene, po_lens, po_state)
+    return fn(cam_to_world, scene, po_lens)
 
 
 def train_step_sharded(cfg: CameraConfig, rc: RenderConfig, scene,
@@ -119,6 +146,7 @@ def train_step_sharded(cfg: CameraConfig, rc: RenderConfig, scene,
         img, _ = render_frame_sharded(
             cfg, rc, scene, cam_to_world, mesh, seed=seed,
             po_lens=lens, po_state=po_state,
+            use_pallas=False,  # grads w.r.t. coeffs need the pure path
         )
         return jnp.mean((img - target_image) ** 2)
 

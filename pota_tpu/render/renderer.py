@@ -28,12 +28,29 @@ def _transform_rays(cam_to_world, origins, dirs):
     trans = cam_to_world[:3, 3]
     o = origins @ rot.T + trans
     d = dirs @ rot.T
-    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    d = d / jnp.sqrt(jnp.maximum(jnp.sum(d * d, -1, keepdims=True), 1e-24))
     return o, d
 
 
+def interp_camera_matrix(m0, m1, t):
+    """Per-sample camera matrix over the shutter: linear blend of the two
+    key matrices (the reference relies on Arnold's per-time matrices,
+    src/lentil_filter.cpp:141-150).  t [N] in [0,1] -> [N, 4, 4]."""
+    t = t[:, None, None]
+    return m0[None] * (1.0 - t) + m1[None] * t
+
+
+def _transform_rays_mb(m_per_sample, origins, dirs):
+    """Batched per-sample camera->world ray transform."""
+    rot = m_per_sample[:, :3, :3]
+    trans = m_per_sample[:, :3, 3]
+    o = jnp.einsum("nij,nj->ni", rot, origins) + trans
+    d = jnp.einsum("nij,nj->ni", rot, dirs)
+    return o, d / jnp.sqrt(jnp.maximum(jnp.sum(d * d, -1, keepdims=True), 1e-24))
+
+
 def trace_camera_rays(cfg: CameraConfig, samples: dict, po_lens=None,
-                      bokeh_cdf=None, po_state=None):
+                      bokeh_cdf=None, po_state=None, use_pallas: bool = True):
     """Generate camera-space rays for a sample stream (dispatch by model).
 
     Equivalent of camera_create_ray minus the derivative rays (those are
@@ -51,7 +68,7 @@ def trace_camera_rays(cfg: CameraConfig, samples: dict, po_lens=None,
         origin, direction, weight, _tries = trace_fw_po(
             cfg, po_lens, samples["sx"], samples["sy"], samples["r1"],
             samples["r2"], retry_key=samples["key"], bokeh_cdf=bokeh_cdf,
-            po_state=po_state,
+            po_state=po_state, use_pallas=use_pallas,
         )
     weight = weight * cfg.exposure  # ref src/lentil_camera.cpp:124
     return origin, direction, weight
@@ -59,7 +76,8 @@ def trace_camera_rays(cfg: CameraConfig, samples: dict, po_lens=None,
 
 def render_sample_stream(cfg: CameraConfig, rc: RenderConfig, scene,
                          cam_to_world, seed: int = 0, po_lens=None,
-                         bokeh_cdf=None, po_state=None) -> dict:
+                         bokeh_cdf=None, po_state=None,
+                         cam_to_world_end=None) -> dict:
     """Trace + shade the whole frame; returns the per-sample AOV stream.
 
     The stream is the TPU analog of Arnold's AA sample iterator contents:
@@ -70,7 +88,12 @@ def render_sample_stream(cfg: CameraConfig, rc: RenderConfig, scene,
     origin_cs, dir_cs, weight = trace_camera_rays(
         cfg, samples, po_lens=po_lens, bokeh_cdf=bokeh_cdf, po_state=po_state
     )
-    origin_ws, dir_ws = _transform_rays(cam_to_world, origin_cs, dir_cs)
+    if cam_to_world_end is not None:
+        m = interp_camera_matrix(cam_to_world, cam_to_world_end,
+                                 samples["time"])
+        origin_ws, dir_ws = _transform_rays_mb(m, origin_cs, dir_cs)
+    else:
+        origin_ws, dir_ws = _transform_rays(cam_to_world, origin_cs, dir_cs)
     shaded = scene.shade(origin_ws, dir_ws)
     rgba = shaded["rgba"] * weight[:, None]
     return {
@@ -81,6 +104,7 @@ def render_sample_stream(cfg: CameraConfig, rc: RenderConfig, scene,
         "raydir": dir_ws,
         "weight": weight,
         "hit": shaded["hit"],
+        "obj_id": shaded["obj_id"],
     }
 
 
@@ -108,9 +132,10 @@ def render_frame_simple(cfg: CameraConfig, rc: RenderConfig, scene,
     return resolve_gaussian(rc, stream)
 
 
-@partial(jax.jit, static_argnums=(0, 1), static_argnames=("seed",))
+@partial(jax.jit, static_argnums=(0, 1), static_argnames=("seed", "po_state"))
 def render_frame(cfg: CameraConfig, rc: RenderConfig, scene, cam_to_world,
-                 seed: int = 0, po_lens=None, po_state=None, bokeh_cdf=None):
+                 seed: int = 0, po_lens=None, po_state=None, bokeh_cdf=None,
+                 cam_to_world_end=None):
     """Full pipeline: forward trace + bidirectional redistribution + resolve.
 
     The TPU equivalent of the reference's complete render flow:
@@ -122,12 +147,15 @@ def render_frame(cfg: CameraConfig, rc: RenderConfig, scene, cam_to_world,
     stream = render_sample_stream(
         cfg, rc, scene, cam_to_world, seed, po_lens=po_lens,
         bokeh_cdf=bokeh_cdf, po_state=po_state,
+        cam_to_world_end=cam_to_world_end,
     )
     if not rc.enable_redistribution:
         return resolve_gaussian(rc, stream), {}
     fb = splat_frame(
         cfg, rc, scene, stream, cam_to_world, po_lens=po_lens,
         po_state=po_state, bokeh_cdf=bokeh_cdf,
+        n_crypto_ids=(scene.n_objects if rc.enable_id_matte else 0),
+        cam_to_world_end=cam_to_world_end,
     )
     return resolve_imager(rc, fb), fb
 

@@ -46,8 +46,8 @@ def frame_samples(rc: RenderConfig, seed: int):
 
     linear = (py * w + px).astype(jnp.uint32)
     key = prng.tea(linear, jnp.uint32(seed))
-    u = prng.uniforms(key, sid, 4)  # [h, w, spp, 4]
-    jx, jy, r1, r2 = u[..., 0], u[..., 1], u[..., 2], u[..., 3]
+    u = prng.uniforms(key, sid, 5)  # [h, w, spp, 5]
+    jx, jy, r1, r2, tu = (u[..., i] for i in range(5))
 
     sx, sy = screen_coords(rc, px.astype(jnp.float32), py.astype(jnp.float32), jx, jy)
     flat = lambda a: a.reshape(-1)
@@ -62,4 +62,5 @@ def frame_samples(rc: RenderConfig, seed: int):
         "ox": flat(jx - 0.5),
         "oy": flat(jy - 0.5),
         "key": flat(key),
+        "time": flat(tu),
     }

@@ -50,11 +50,13 @@ class SphereScene:
     # ------------------------------------------------------------------
     def intersect(self, origins, dirs, t_min=1e-3):
         """Nearest hit. Returns (t [N], idx [N], hit [N])."""
+        from ..optics.geometry import safe_sqrt
+
         oc = origins[:, None, :] - self.centers[None, :, :]      # [N,S,3]
         b = jnp.sum(oc * dirs[:, None, :], -1)                   # [N,S]
         c = jnp.sum(oc * oc, -1) - self.radii[None, :] ** 2
         disc = b * b - c
-        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        sq = safe_sqrt(disc)  # NaN-free gradients on the miss branch
         t0 = -b - sq
         t1 = -b + sq
         t = jnp.where(t0 > t_min, t0, t1)
@@ -71,8 +73,9 @@ class SphereScene:
         backward redistribution loop.
         """
         seg = p_to - p_from
-        dist = jnp.linalg.norm(seg, axis=-1)
-        d = seg / jnp.maximum(dist[..., None], 1e-12)
+        dist2 = jnp.sum(seg * seg, axis=-1)
+        dist = jnp.sqrt(jnp.maximum(dist2, 1e-24))
+        d = seg / dist[..., None]
         t, _, hit = self.intersect(p_from, d, t_min)
         return hit & (t < dist - t_min)
 
@@ -103,7 +106,13 @@ class SphereScene:
         rgba = jnp.concatenate([rgb, alpha[:, None]], -1)
         z = jnp.where(hit, t, INF)
         p_out = jnp.where(hit[:, None], p, jnp.zeros_like(p))
-        return {"rgba": rgba, "z": z, "P": p_out, "hit": hit}
+        obj_id = jnp.where(hit, idx, -1).astype(jnp.int32)
+        return {"rgba": rgba, "z": z, "P": p_out, "hit": hit,
+                "obj_id": obj_id}
+
+    @property
+    def n_objects(self) -> int:
+        return int(self.centers.shape[0])
 
     def _occluded_dir(self, origins, direction):
         d = jnp.broadcast_to(direction[None, :], origins.shape)

@@ -73,8 +73,8 @@ def compute_gates_and_budget(cfg: CameraConfig, rc: RenderConfig, stream,
     if cfg.camera_type == CameraType.POLYNOMIAL_OPTICS:
         coc = thinlens.coc_thinlens(
             cfg, cam_space_pos[..., 2],
-            aperture_radius=po_state["aperture_radius"],
-            focus_distance=po_state["focus_distance"],
+            aperture_radius=po_state.aperture_radius,
+            focus_distance=po_state.focus_distance,
         )
         redistribute &= (
             jnp.abs(cam_space_pos[..., 2]) >= po_lens.lens_length * 0.1
@@ -239,18 +239,40 @@ def thinlens_backward_project(cfg: CameraConfig, rc: RenderConfig,
 
 
 def splat_frame(cfg: CameraConfig, rc: RenderConfig, scene, stream,
-                cam_to_world, po_lens=None, po_state=None, bokeh_cdf=None):
+                cam_to_world, po_lens=None, po_state=None, bokeh_cdf=None,
+                aovs=None, n_crypto_ids: int = 0, cam_to_world_end=None):
     """Full filter stage: gates + backward splats + buffer accumulation.
 
-    Returns the framebuffer dict consumed by :func:`resolve_imager`:
-    rgba buffer, filter weight buffer, z buffer, debug buffer.
+    Every AOV in ``aovs`` (default :data:`pota_tpu.render.aov.DEFAULT_AOVS`)
+    rides the same splat lanes; gaussian-class AOVs accumulate
+    value*weight, closest-class AOVs are winner-take by depth.  Returns the
+    framebuffer dict consumed by :func:`resolve_imager` (one [H, W, 4]
+    buffer per AOV + the RGBA filter-weight plane).
     """
+    from .aov import CLOSEST, DEFAULT_AOVS, GAUSSIAN, aov_value_rgba
+
+    if aovs is None:
+        aovs = DEFAULT_AOVS
     n = stream["rgba"].shape[0]
     k = cfg.max_bidir_samples
     inv_density = 1.0 / rc.spp
 
-    w2c = world_to_camera(cam_to_world)
-    p_cam = stream["P"] @ w2c[:3, :3].T + w2c[:3, 3]
+    # per-sample camera matrices over the shutter (motion blur,
+    # ref src/lentil_filter.cpp:141-150)
+    if cam_to_world_end is not None:
+        from .renderer import interp_camera_matrix
+
+        c2w_s = interp_camera_matrix(
+            cam_to_world, cam_to_world_end, stream["time"]
+        )  # [N, 4, 4]
+        w2c_rot = jnp.swapaxes(c2w_s[:, :3, :3], 1, 2)
+        w2c_trans = -jnp.einsum("nij,nj->ni", w2c_rot, c2w_s[:, :3, 3])
+        p_cam = (
+            jnp.einsum("nij,nj->ni", w2c_rot, stream["P"]) + w2c_trans
+        )
+    else:
+        w2c = world_to_camera(cam_to_world)
+        p_cam = stream["P"] @ w2c[:3, :3].T + w2c[:3, 3]
     p_cam = p_cam * cfg.unit_scale_filter
 
     # skydome position synthesis (ref src/lentil_filter.cpp:119-133)
@@ -260,7 +282,14 @@ def splat_frame(cfg: CameraConfig, rc: RenderConfig, scene, stream,
     if cfg.enable_skydome:
         synth_ws = stream["raydir"] * 99999999.0
         p_ws = jnp.where(sky[:, None], synth_ws, stream["P"])
-        p_cam_sky = (p_ws @ w2c[:3, :3].T + w2c[:3, 3]) * cfg.unit_scale_filter
+        if cam_to_world_end is not None:
+            p_cam_sky = (
+                jnp.einsum("nij,nj->ni", w2c_rot, p_ws) + w2c_trans
+            ) * cfg.unit_scale_filter
+        else:
+            p_cam_sky = (
+                p_ws @ w2c[:3, :3].T + w2c[:3, 3]
+            ) * cfg.unit_scale_filter
         p_cam = jnp.where(sky[:, None], p_cam_sky, p_cam)
     else:
         p_ws = stream["P"]
@@ -285,23 +314,39 @@ def splat_frame(cfg: CameraConfig, rc: RenderConfig, scene, stream,
         + stream["px"].astype(jnp.uint32)
     )
     k_idx = jnp.broadcast_to(jnp.arange(k, dtype=jnp.uint32)[None, :], (n, k))
+    # Gated-out samples (sky with P=0, inside-lens, ...) can hold degenerate
+    # positions that produce NaN/Inf inside the projections.  Their lanes
+    # are masked below, but NaN x 0 still poisons gradients and Newton
+    # solves, so substitute a benign position first.
+    p_cam_safe = jnp.where(
+        redistribute[:, None], p_cam,
+        jnp.asarray([0.0, 0.0, -100.0], p_cam.dtype),
+    )
     if cfg.camera_type == CameraType.POLYNOMIAL_OPTICS:
         proj = po_backward_project(
-            cfg, rc, po_lens, po_state, p_cam, seeds[:, None], k_idx,
+            cfg, rc, po_lens, po_state, p_cam_safe, seeds[:, None], k_idx,
             bokeh_cdf=bokeh_cdf,
         )
     else:
         proj = thinlens_backward_project(
-            cfg, rc, p_cam[:, None, :], seeds[:, None], k_idx,
+            cfg, rc, p_cam_safe[:, None, :], seeds[:, None], k_idx,
             bokeh_cdf=bokeh_cdf,
         )
+    if not cfg.differentiate_splat_geometry:
+        proj = jax.tree_util.tree_map(jax.lax.stop_gradient, proj)
 
     # occlusion probe in world space (ref AiTraceProbe, filter.cpp:355-375)
     lens_ws_scale = 1.0 / cfg.unit_scale_filter
     lens_cs = proj["lens_cs"] * lens_ws_scale
-    cam_pos_ws = (
-        lens_cs @ cam_to_world[:3, :3].T + cam_to_world[:3, 3]
-    )
+    if cam_to_world_end is not None:
+        cam_pos_ws = (
+            jnp.einsum("nij,nkj->nki", c2w_s[:, :3, :3], lens_cs)
+            + c2w_s[:, None, :3, 3]
+        )
+    else:
+        cam_pos_ws = (
+            lens_cs @ cam_to_world[:3, :3].T + cam_to_world[:3, 3]
+        )
     occluded = scene.occluded(
         jnp.broadcast_to(p_ws[:, None, :], (n, k, 3)).reshape(-1, 3),
         cam_pos_ws.reshape(-1, 3),
@@ -339,51 +384,146 @@ def splat_frame(cfg: CameraConfig, rc: RenderConfig, scene, stream,
 
     # weight chain (ref src/lentil_filter.cpp:295-298, 442-444)
     w_lane = jnp.where(valid, inv_density * inv_success[:, None], 0.0)
-    value = stream["rgba"] + add_energy[:, None] * jnp.asarray(
-        [1.0, 1.0, 1.0, 0.0]
-    )
     rgbw = jnp.concatenate(
         [proj["rgb_weight"], jnp.ones_like(proj["rgb_weight"][..., :1])], -1
     )
-    lane_rgba = value[:, None, :] * rgbw * w_lane[..., None]
+    w_src = jnp.where(use_source, inv_density, 0.0)
 
     npix = rc.xres * rc.yres
-    rgba_buf = jnp.zeros((npix, 4), stream["rgba"].dtype)
-    weight_buf = jnp.zeros((npix,), stream["rgba"].dtype)
+    nk = n * k
+    dtype = stream["rgba"].dtype
 
-    flat_idx = lin_splat.reshape(-1)
-    rgba_buf = rgba_buf.at[flat_idx].add(lane_rgba.reshape(-1, 4))
-    weight_buf = weight_buf.at[flat_idx].add(w_lane.reshape(-1))
-
-    # source-pixel path (non-redistributed samples): box filter, w=inv_density
-    w_src = jnp.where(use_source, inv_density, 0.0)
-    rgba_buf = rgba_buf.at[lin_source].add(
-        stream["rgba"] * w_src[:, None]
-    )
-    weight_buf = weight_buf.at[lin_source].add(w_src)
-
-    # ---- closest-type AOVs: deterministic two-pass scatter-min on depth --
-    depth = jnp.abs(stream["z"])
-    big = jnp.float32(3e38)
-    zmin_buf = jnp.full((npix,), big)
-    zmin_buf = zmin_buf.at[lin_source].min(jnp.where(depth > 0, depth, big))
-    is_min = depth <= zmin_buf[lin_source] + 0.0
-    z_buf = jnp.zeros((npix,))
-    z_buf = z_buf.at[lin_source].max(jnp.where(is_min, stream["z"], 0.0))
-
-    # debug AOV: backward sample counts (ref src/lentil_filter.cpp:209-211)
-    debug_buf = jnp.zeros((npix,))
-    debug_buf = debug_buf.at[lin_source].add(
-        jnp.where(redistribute, budget, 0).astype(jnp.float32)
+    # ---- writers: all splat lanes + the source-pixel fallback path -------
+    writer_pix = jnp.concatenate([lin_splat.reshape(-1), lin_source])
+    writer_valid = jnp.concatenate([valid.reshape(-1), use_source])
+    depth_src = jnp.abs(stream["z"])
+    writer_depth = jnp.concatenate(
+        [jnp.broadcast_to(depth_src[:, None], (n, k)).reshape(-1), depth_src]
     )
 
-    return {
-        "rgba": rgba_buf.reshape(rc.yres, rc.xres, 4),
-        "filter_weight": weight_buf.reshape(rc.yres, rc.xres),
-        "z": z_buf.reshape(rc.yres, rc.xres),
-        "zmin": zmin_buf.reshape(rc.yres, rc.xres),
-        "debug": debug_buf.reshape(rc.yres, rc.xres),
+    # per-sample AOV stream values (debug AOV = backward budget,
+    # ref src/lentil_filter.cpp:209-211)
+    stream = {
+        **stream,
+        "debug": jnp.where(redistribute, budget, 0).astype(dtype),
+        "time": stream.get("time", jnp.zeros_like(depth_src)),
     }
+
+    # deterministic closest-filter winner per pixel: smallest depth, ties
+    # broken by writer id (replaces the reference's tolerated write races,
+    # ref src/lentil.h:832-845)
+    big = jnp.asarray(3e38, dtype)
+    zmin_buf = jnp.full((npix,), big, dtype)
+    zmin_buf = zmin_buf.at[writer_pix].min(
+        jnp.where(writer_valid, writer_depth, big)
+    )
+    is_min = writer_valid & (writer_depth <= zmin_buf[writer_pix])
+    wid = jnp.arange(nk + n, dtype=jnp.int32)
+    winner_buf = jnp.full((npix,), jnp.iinfo(jnp.int32).max, jnp.int32)
+    winner_buf = winner_buf.at[writer_pix].min(
+        jnp.where(is_min, wid, jnp.iinfo(jnp.int32).max)
+    )
+    is_winner = is_min & (wid == winner_buf[writer_pix])
+
+    buffers: dict = {}
+    weight_buf = jnp.zeros((npix,), dtype)
+
+    for spec in aovs:
+        values = aov_value_rgba(stream, spec)  # [N, 4]
+        lane_vals = jnp.broadcast_to(values[:, None, :], (n, k, 4))
+
+        if spec.filter == GAUSSIAN:
+            if spec.name == "RGBA":
+                # additional energy rides RGBA only (ref filter.cpp:172-174)
+                values = values + add_energy[:, None] * jnp.asarray(
+                    [1.0, 1.0, 1.0, 0.0], dtype
+                )
+                lane_vals = jnp.broadcast_to(values[:, None, :], (n, k, 4))
+                lane_contrib = lane_vals * rgbw * w_lane[..., None]
+            else:
+                lane_contrib = lane_vals * w_lane[..., None]
+            buf = jnp.zeros((npix, 4), dtype)
+            buf = buf.at[lin_splat.reshape(-1)].add(
+                lane_contrib.reshape(-1, 4)
+            )
+            buf = buf.at[lin_source].add(values * w_src[:, None])
+            if spec.name == "RGBA":
+                weight_buf = weight_buf.at[lin_splat.reshape(-1)].add(
+                    w_lane.reshape(-1)
+                )
+                weight_buf = weight_buf.at[lin_source].add(w_src)
+        else:  # CLOSEST: winner-take write by depth
+            writer_vals = jnp.concatenate(
+                [lane_vals.reshape(-1, 4), values], 0
+            )
+            if spec.name == "lentil_debug":
+                # debug only records nonzero counts (ref src/lentil.h:838-843)
+                nz = writer_vals[:, 0] != 0.0
+                take = is_winner & nz
+            else:
+                take = is_winner
+            buf = jnp.zeros((npix, 4), dtype)
+            buf = buf.at[writer_pix].add(
+                writer_vals * take[:, None].astype(dtype)
+            )
+        buffers[spec.name] = buf.reshape(rc.yres, rc.xres, 4)
+
+    # ---- id-matte (cryptomatte capability, SURVEY.md C13): dense per-id
+    # coverage accumulated with the same splat weight chain
+    # (ref add_to_buffer_cryptomatte, src/lentil.h:814-819) ----------------
+    if n_crypto_ids:
+        oid = stream["obj_id"]
+        id_safe = jnp.maximum(oid, 0)
+        has_id = oid >= 0
+        crypto = jnp.zeros((npix * n_crypto_ids,), dtype)
+        lane_cidx = lin_splat * n_crypto_ids + id_safe[:, None]
+        crypto = crypto.at[lane_cidx.reshape(-1)].add(
+            jnp.where(has_id[:, None], w_lane, 0.0).reshape(-1)
+        )
+        crypto = crypto.at[lin_source * n_crypto_ids + id_safe].add(
+            jnp.where(has_id, w_src, 0.0)
+        )
+        total = jnp.zeros((npix,), dtype)
+        total = total.at[lin_splat.reshape(-1)].add(w_lane.reshape(-1))
+        total = total.at[lin_source].add(w_src)
+        buffers["crypto"] = crypto.reshape(rc.yres, rc.xres, n_crypto_ids)
+        buffers["crypto_total"] = total.reshape(rc.yres, rc.xres)
+
+    buffers["filter_weight"] = weight_buf.reshape(rc.yres, rc.xres)
+    buffers["zmin"] = zmin_buf.reshape(rc.yres, rc.xres)
+    return buffers
+
+
+def resolve_crypto(fb: dict, ranks: int = 3):
+    """Rank-extract id-matte layers from the dense coverage buffer.
+
+    TPU-native version of the reference imager's crypto resolve
+    (src/lentil_imager.cpp:121-160): sort ids by coverage weight, emit
+    ``ranks`` RGBA layers each holding two (id, normalized-weight) pairs —
+    the standard cryptomatte layer packing.
+    """
+    crypto = fb["crypto"]                       # [H, W, I]
+    total = jnp.maximum(fb["crypto_total"], 1e-12)[..., None]
+    k = min(2 * ranks, crypto.shape[-1])
+    vals, ids = jax.lax.top_k(crypto, k)
+    vals = vals / total
+    vals = jnp.where(vals > 0, vals, 0.0)
+    idf = jnp.where(vals > 0, ids.astype(crypto.dtype), 0.0)
+    layers = []
+    for r in range(ranks):
+        i0, i1 = 2 * r, 2 * r + 1
+        if i1 < k:
+            layer = jnp.stack(
+                [idf[..., i0], vals[..., i0], idf[..., i1], vals[..., i1]], -1
+            )
+        elif i0 < k:
+            z = jnp.zeros_like(idf[..., i0])
+            layer = jnp.stack([idf[..., i0], vals[..., i0], z, z], -1)
+        else:
+            z = jnp.zeros_like(crypto[..., 0])
+            layer = jnp.stack([z, z, z, z], -1)
+        layers.append(layer)
+    return layers
 
 
 def po_backward_project(cfg, rc, lens, po_state, p_cam, seeds, k_idx,
@@ -406,18 +546,20 @@ def po_backward_project(cfg, rc, lens, po_state, p_cam, seeds, k_idx,
         unit_disk = smp.triangular_aperture_sample(
             r1, r2, 1.0, cfg.aperture_blades
         )
-    aperture = unit_disk * po_state["aperture_radius"]
+    aperture = unit_disk * po_state.aperture_radius
 
     target = -p_cam[:, None, :] * 10.0  # ref src/lentil_filter.cpp:271
     target = jnp.broadcast_to(target, (n, k, 3))
     lam = jnp.full((n, k), cfg.lambda_um)
 
-    sensor5, out4, trans = lt_sample_aperture(lens, target, aperture, lam)
+    sensor5, out4, trans = lt_sample_aperture(
+        lens, target, aperture, lam, iterations=cfg.lt_newton_iterations
+    )
     ok = (trans > 0.0) & inner_pupil_ok(lens, sensor5)
 
     # sensor shift compensation (ref src/lentil.h:653-655)
-    sx = sensor5[..., 0] + sensor5[..., 2] * -po_state["sensor_shift"]
-    sy = sensor5[..., 1] + sensor5[..., 3] * -po_state["sensor_shift"]
+    sx = sensor5[..., 0] + sensor5[..., 2] * -po_state.sensor_shift
+    sy = sensor5[..., 1] + sensor5[..., 3] * -po_state.sensor_shift
 
     aspect = rc.xres / rc.yres
     s_x = sx / (cfg.sensor_width * 0.5)
@@ -442,7 +584,27 @@ def po_backward_project(cfg, rc, lens, po_state, p_cam, seeds, k_idx,
 
 
 def resolve_imager(rc: RenderConfig, fb: dict) -> jnp.ndarray:
-    """Imager resolve: normalize gaussian-class buffers by accumulated weight
-    (ref src/lentil_imager.cpp:169-179)."""
+    """Imager resolve of the beauty pass: normalize RGBA by the accumulated
+    filter weight (ref src/lentil_imager.cpp:169-179)."""
     w = fb["filter_weight"]
-    return fb["rgba"] / jnp.maximum(w, 1e-12)[..., None]
+    return fb["RGBA"] / jnp.maximum(w, 1e-12)[..., None]
+
+
+def resolve_aovs(rc: RenderConfig, fb: dict, aovs=None) -> dict:
+    """Resolve every AOV plane: gaussian-class divide by the RGBA filter
+    weight (exactly like the reference imager, which normalizes all
+    gaussian AOVs by the shared weight buffer); closest-class pass through
+    raw (ref src/lentil_imager.cpp:164-186)."""
+    from .aov import DEFAULT_AOVS, GAUSSIAN
+
+    if aovs is None:
+        aovs = DEFAULT_AOVS
+    w = jnp.maximum(fb["filter_weight"], 1e-12)[..., None]
+    out = {}
+    for spec in aovs:
+        buf = fb[spec.name]
+        if spec.filter == GAUSSIAN and spec.name != "lentil_debug":
+            out[spec.name] = buf / w
+        else:
+            out[spec.name] = buf
+    return out

@@ -11,9 +11,9 @@ from pota_tpu.render.renderer import look_at, render_frame
 
 CFG = CameraConfig(
     focal_length=65.0, fstop=1.8, focus_distance=150.0,
-    vignetting_retries=2, max_bidir_samples=8,
+    vignetting_retries=1, max_bidir_samples=4,
 )
-RC = RenderConfig(xres=32, yres=32, spp=2)
+RC = RenderConfig(xres=24, yres=24, spp=2)
 M = look_at([0, 0, 0], [0, 0, -1])
 
 

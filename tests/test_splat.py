@@ -49,7 +49,7 @@ def test_deterministic(grid_scene):
 
 def test_debug_aov_counts_only_redistributed(grid_scene):
     img, fb = render_frame(CFG, RC, grid_scene, M, seed=0)
-    dbg = np.asarray(fb["debug"])
+    dbg = np.asarray(fb["lentil_debug"])[..., 0]
     assert dbg.max() > 0  # bright out-of-focus pixels got budgets
     # in-focus/dark majority has zero budget
     assert (dbg == 0).mean() > 0.5
