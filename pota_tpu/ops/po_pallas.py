@@ -33,6 +33,10 @@ SUBLANE = 8
 TILE = SUBLANE * LANE  # rays per grid step
 
 
+def _safe_sqrt(v, eps=1e-20):
+    return jnp.sqrt(jnp.maximum(v, eps))
+
+
 def _poly_static(fn):
     """Extract the static structure (exponents, coeffs, conditioning)."""
     exps = np.asarray(fn.exponents, np.int32)          # [T, 5]
@@ -236,3 +240,246 @@ def build_po_forward_kernel(lens: PolyLens, sensor_shift: float,
         return out4, jnp.maximum(tr, 0.0), dx, dy
 
     return fn
+
+# --------------------------------------------------------------------------
+# Backward (lt_sample_aperture) kernel: the bidirectional splat's hot solve.
+# --------------------------------------------------------------------------
+
+
+def build_po_backward_kernel(lens: PolyLens, iterations: int = 5,
+                             interpret: bool = False):
+    """Build the fused per-lens backward kernel.
+
+    TPU-native replacement for the reference's generated
+    ``lt_sample_aperture`` (zpelgrims/pota src/lentil.h:1296-1313): solve
+    the sensor light field (x, y, dx, dy) for a (scene point, aperture
+    point) pair with a fixed-iteration 4x4 Newton.  The residual pins the
+    iris crossing to the aperture target and the exit ray (outer-pupil
+    sphere chart -> camera space -> plane at scene depth) to the scene
+    point — identical math to
+    :func:`pota_tpu.optics.polynomial.lt_sample_aperture`, but with the
+    lens's sparse-polynomial structure and coefficients baked in as
+    immediates, so the whole solve (primal + 4 Jacobian tangents per
+    iteration via ``jax.linearize``, blocked 4x4 solve, final pt_evaluate)
+    fuses into one VPU program with zero HBM round-trips.
+
+    Returns ``fn(px, py, pz, ap_x, ap_y, lam) -> (sx, sy, sdx, sdy,
+    trans)`` on flat float32 arrays; ``trans`` is already cropped by the
+    outer pupil radius.
+    """
+    exps, geo_coeffs, scale, shift = _poly_static(lens.pt)
+    ap_exps, ap_coeffs, *_ = _poly_static(lens.ap)
+    # fit.py selects one shared term set for pt and ap; the fused
+    # accumulation below relies on that
+    assert np.array_equal(exps, ap_exps), "pt/ap term sets must be shared"
+    max_deg = int(exps.max())
+    s0, s1, s2, s3, s4 = (float(v) for v in scale)
+    sh4 = float(shift[4])
+    R = float(lens.outer_pupil_curvature_radius)
+    r_outer2 = float(lens.outer_pupil_radius) ** 2
+    front_z = float(lens.back_focal_length + lens.lens_length)
+    bfl = float(lens.back_focal_length)
+    inv_ap_z = 1.0 / float(lens.aperture_z)
+    # [6 or 7, T] coefficient rows: apx, apy, o0..o3 (+ trans for the final)
+    C = np.concatenate([ap_coeffs[:2], geo_coeffs], 0)  # [7, T] (o4=trans)
+
+    def kernel(px_ref, py_ref, pz_ref, ax_ref, ay_ref, lam_ref,
+               sx_ref, sy_ref, sdx_ref, sdy_ref, trans_ref):
+        px = px_ref[:]
+        py = py_ref[:]
+        pz = pz_ref[:]
+        ax = ax_ref[:]
+        ay = ay_ref[:]
+        lam = lam_ref[:]
+
+        ul = (lam - sh4) * s4
+        ul_pows = _emit_powers(ul, max_deg)
+        one = jnp.ones_like(px)
+
+        def poly_all(x, y, dx, dy, n_out):
+            """Evaluate rows C[:n_out] of the shared-term table."""
+            xp = _emit_powers(x * s0, max_deg)
+            yp = _emit_powers(y * s1, max_deg)
+            dxp = _emit_powers(dx * s2, max_deg)
+            dyp = _emit_powers(dy * s3, max_deg)
+            acc = [None] * n_out
+            for t, e in enumerate(exps):
+                e0, e1, e2, e3, e4 = (int(v) for v in e)
+                m = None
+                for pows, deg in (
+                    (xp, e0), (yp, e1), (dxp, e2), (dyp, e3), (ul_pows, e4),
+                ):
+                    if deg:
+                        f = pows[deg]
+                        m = f if m is None else m * f
+                if m is None:
+                    m = one
+                for o in range(n_out):
+                    c = float(C[o, t])
+                    if c != 0.0:
+                        acc[o] = m * c if acc[o] is None else acc[o] + m * c
+            return [a if a is not None else jnp.zeros_like(px) for a in acc]
+
+        def exit_ray(o0, o1, o2, o3):
+            """Outer-pupil sphere chart -> camera-space ray components
+            (component-wise sphere_to_cs, center=-R; see optics/geometry.py)."""
+            r2 = o0 * o0 + o1 * o1
+            nz = _safe_sqrt(R * R - r2) / abs(R)
+            n0 = o0 / R
+            n1 = o1 / R
+            tz = _safe_sqrt(1.0 - (o2 * o2 + o3 * o3))
+            # tangent frame: ex = normalize((nz, 0, -n0)); ey = n x ex
+            inv_exn = 1.0 / _safe_sqrt(nz * nz + n0 * n0, 1e-24)
+            e0 = nz * inv_exn
+            e2 = -n0 * inv_exn
+            f0 = n1 * e2
+            f1 = nz * e0 - n0 * e2
+            f2 = -n1 * e0
+            d0 = o2 * e0 + o3 * f0 + tz * n0
+            d1 = o3 * f1 + tz * n1
+            d2 = o2 * e2 + o3 * f2 + tz * nz
+            pos_z = nz * R - R
+            return o0, o1, pos_z, d0, d1, d2
+
+        def residual(s):
+            x, y, dx, dy = s
+            apx, apy, o0, o1, o2, o3 = poly_all(x, y, dx, dy, 6)
+            q0, q1, qz, d0, d1, d2 = exit_ray(o0, o1, o2, o3)
+            dz = jnp.where(jnp.abs(d2) < 1e-9, 1e-9, d2)
+            t = (pz - (qz + front_z)) / dz
+            return (apx - ax, apy - ay,
+                    q0 + t * d0 - px, q1 + t * d1 - py)
+
+        # chief-ray init (matches the pure-JAX solver's s0)
+        pz_safe = jnp.where(jnp.abs(pz) < 1e-6, 1e-6, pz)
+        x = -px * bfl / pz_safe
+        y = -py * bfl / pz_safe
+        dx = (ax - x) * inv_ap_z
+        dy = (ay - y) * inv_ap_z
+
+        for _ in range(iterations):
+            (r0, r1, r2_, r3), lin = jax.linearize(residual, (x, y, dx, dy))
+            zero = jnp.zeros_like(x)
+            cols = [
+                lin((one, zero, zero, zero)),
+                lin((zero, one, zero, zero)),
+                lin((zero, zero, one, zero)),
+                lin((zero, zero, zero, one)),
+            ]
+            # J[i][j] = d r_i / d s_j
+            J = [[cols[j][i] for j in range(4)] for i in range(4)]
+            dxs = _solve4(J, (r0, r1, r2_, r3))
+            x = x - dxs[0]
+            y = y - dxs[1]
+            dx = dx - dxs[2]
+            dy = dy - dxs[3]
+
+        outs = poly_all(x, y, dx, dy, 7)
+        o0, o1, trans = outs[2], outs[3], outs[6]
+        trans = jnp.maximum(trans, 0.0)
+        trans = jnp.where(o0 * o0 + o1 * o1 > r_outer2, 0.0, trans)
+
+        sx_ref[:] = x
+        sy_ref[:] = y
+        sdx_ref[:] = dx
+        sdy_ref[:] = dy
+        trans_ref[:] = trans
+
+    @jax.jit
+    def fn(px, py, pz, ap_x, ap_y, lam):
+        n = px.shape[0]
+        n_pad = ((n + TILE - 1) // TILE) * TILE
+        pad = lambda a: jnp.pad(a, (0, n_pad - n)).reshape(-1, LANE)
+        rows = n_pad // LANE
+        grid = rows // SUBLANE
+        spec = pl.BlockSpec((SUBLANE, LANE), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+        outs = pl.pallas_call(
+            kernel,
+            grid=(grid,),
+            in_specs=[spec] * 6,
+            out_specs=[spec] * 5,
+            out_shape=[jax.ShapeDtypeStruct((rows, LANE), jnp.float32)] * 5,
+            interpret=interpret,
+        )(pad(px), pad(py), pad(pz), pad(ap_x), pad(ap_y), pad(lam))
+        return tuple(o.reshape(-1)[:n] for o in outs)
+
+    return fn
+
+
+def _solve4(J, r):
+    """Blocked 4x4 solve on component arrays (Schur complement over the
+    leading 2x2 block; mirrors optics/polynomial._solve4_blocked)."""
+    a, b = J[0][0], J[0][1]
+    c, d = J[1][0], J[1][1]
+    detA = a * d - b * c
+    detA = jnp.where(jnp.abs(detA) < 1e-12, 1e-12, detA)
+    ia00, ia01 = d / detA, -b / detA
+    ia10, ia11 = -c / detA, a / detA
+
+    B = [[J[0][2], J[0][3]], [J[1][2], J[1][3]]]
+    Cm = [[J[2][0], J[2][1]], [J[3][0], J[3][1]]]
+    D = [[J[2][2], J[2][3]], [J[3][2], J[3][3]]]
+
+    # A^{-1} B
+    ab00 = ia00 * B[0][0] + ia01 * B[1][0]
+    ab01 = ia00 * B[0][1] + ia01 * B[1][1]
+    ab10 = ia10 * B[0][0] + ia11 * B[1][0]
+    ab11 = ia10 * B[0][1] + ia11 * B[1][1]
+    # S = D - C A^{-1} B
+    s00 = D[0][0] - (Cm[0][0] * ab00 + Cm[0][1] * ab10)
+    s01 = D[0][1] - (Cm[0][0] * ab01 + Cm[0][1] * ab11)
+    s10 = D[1][0] - (Cm[1][0] * ab00 + Cm[1][1] * ab10)
+    s11 = D[1][1] - (Cm[1][0] * ab01 + Cm[1][1] * ab11)
+    # rhs2 = r2 - C A^{-1} r1
+    av0 = ia00 * r[0] + ia01 * r[1]
+    av1 = ia10 * r[0] + ia11 * r[1]
+    rh0 = r[2] - (Cm[0][0] * av0 + Cm[0][1] * av1)
+    rh1 = r[3] - (Cm[1][0] * av0 + Cm[1][1] * av1)
+    dets = s00 * s11 - s01 * s10
+    dets = jnp.where(jnp.abs(dets) < 1e-12, 1e-12, dets)
+    x2 = (s11 * rh0 - s01 * rh1) / dets
+    x3 = (-s10 * rh0 + s00 * rh1) / dets
+    # x1 = A^{-1} (r1 - B x2)
+    t0 = r[0] - (B[0][0] * x2 + B[0][1] * x3)
+    t1 = r[1] - (B[1][0] * x2 + B[1][1] * x3)
+    x0 = ia00 * t0 + ia01 * t1
+    x1 = ia10 * t0 + ia11 * t1
+    return x0, x1, x2, x3
+
+
+# ------------------------------------------------------------- kernel cache --
+
+_BACKWARD_KERNEL_CACHE: dict = {}
+
+
+def resolve_backward_kernel(lens: PolyLens, iterations: int,
+                            use_pallas: bool = True):
+    """Return the fused backward kernel, or None for the pure-JAX path.
+
+    Same contract as the forward resolver in models/po_camera.py: the
+    kernel bakes concrete coefficients, so it can only be built outside
+    tracing — :func:`prebuild_backward_kernel` populates the cache (keyed
+    by the static lens name) so jitted splat passes find it.
+    """
+    import os
+
+    import jax.core
+
+    if not use_pallas or os.environ.get("POTA_DISABLE_PALLAS"):
+        return None
+    if jax.default_backend() == "cpu":
+        return None
+    key = (lens.name, iterations)
+    kern = _BACKWARD_KERNEL_CACHE.get(key)
+    if kern is None and not isinstance(lens.pt.coeffs, jax.core.Tracer):
+        kern = build_po_backward_kernel(lens, iterations=iterations)
+        _BACKWARD_KERNEL_CACHE[key] = kern
+    return kern
+
+
+def prebuild_backward_kernel(lens: PolyLens, iterations: int = 5):
+    """Eagerly build + cache the backward kernel (call with concrete coeffs)."""
+    if jax.default_backend() == "cpu":
+        return
+    resolve_backward_kernel(lens, iterations, True)

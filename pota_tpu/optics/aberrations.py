@@ -106,4 +106,5 @@ def coma_perturb(dir_from_lens, ray_to_perturb, abb_coma, reverse: bool):
     angle = abb_coma * 2.3456 * jnp.pi / 180.0
     angle = jnp.where(reverse, -angle, angle)
     rot = _rotation_matrix(axis, jnp.broadcast_to(angle, axis[..., 0].shape))
-    return jnp.einsum("...ij,...j->...i", rot, ray_to_perturb)
+    return jnp.einsum("...ij,...j->...i", rot, ray_to_perturb,
+                      precision=jax.lax.Precision.HIGHEST)

@@ -168,8 +168,10 @@ def setup_po_camera(lens: PolyLens, cfg) -> "POState":
         focus_distance=float(focus_distance),
         tan_fov=float(np.tan(lens.fov / 2.0)),
     )
-    # eagerly bake+cache the fused forward kernel for jitted renders
+    # eagerly bake+cache the fused forward/backward kernels for jitted renders
     from ..models.po_camera import prebuild_forward_kernel
+    from ..ops.po_pallas import prebuild_backward_kernel
 
     prebuild_forward_kernel(lens, state.sensor_shift)
+    prebuild_backward_kernel(lens, cfg.lt_newton_iterations)
     return state

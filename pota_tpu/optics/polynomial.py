@@ -97,10 +97,20 @@ def poly_eval(fn: PolyFunction, x5):
 
     The monomial basis is fused elementwise work; the contraction
     [N, T] @ [T, O] maps onto the MXU.
+
+    The contraction is pinned to ``Precision.HIGHEST``: at the TPU default
+    the MXU runs it in single-pass bf16, whose ~8-bit mantissa puts ~1mm of
+    noise on the coefficient cancellation (coeff magnitudes reach 1e3 while
+    outputs are ~1e1 mm) — enough to stall the backward Newton solves at a
+    ~0.8mm residual plateau and visibly blur bokeh edges.  HIGHEST costs
+    3-6 bf16 passes but restores true f32 accuracy; the hot production
+    paths use the fused Pallas kernels (f32 VPU) and never pay it.
     """
     x = (x5 - fn.in_shift) * fn.in_scale
     monomials = monomial_basis(fn.exponents, x, fn.max_degree)
-    return monomials @ fn.coeffs.T  # [..., O]
+    return jnp.matmul(
+        monomials, fn.coeffs.T, precision=jax.lax.Precision.HIGHEST
+    )  # [..., O]
 
 
 @jax.tree_util.register_pytree_node_class
@@ -224,14 +234,17 @@ def _solve4_blocked(jac, r):
         )
 
     AinvB = Ainv_mat(B)                               # [..., 2, 2]
-    S = D - jnp.einsum("...ik,...kj->...ij", C, AinvB)  # Schur complement
-    rhs2 = r2 - jnp.einsum("...ik,...k->...i", C, Ainv_vec(r1))
+    S = D - jnp.einsum("...ik,...kj->...ij", C, AinvB,
+                       precision=jax.lax.Precision.HIGHEST)  # Schur complement
+    rhs2 = r2 - jnp.einsum("...ik,...k->...i", C, Ainv_vec(r1),
+                           precision=jax.lax.Precision.HIGHEST)
     x2_0, x2_1 = _solve2(
         S[..., 0, 0], S[..., 0, 1], S[..., 1, 0], S[..., 1, 1],
         rhs2[..., 0], rhs2[..., 1],
     )
     x2 = jnp.stack([x2_0, x2_1], -1)
-    x1 = Ainv_vec(r1 - jnp.einsum("...ik,...k->...i", B, x2))
+    x1 = Ainv_vec(r1 - jnp.einsum("...ik,...k->...i", B, x2,
+                                  precision=jax.lax.Precision.HIGHEST))
     return jnp.concatenate([x1, x2], -1)
 
 

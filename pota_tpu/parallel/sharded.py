@@ -81,7 +81,7 @@ def render_frame_sharded(cfg: CameraConfig, rc: RenderConfig, scene,
         }
         fb = splat_frame(
             cfg, rc, scene_l, stream, cam_to_world_l,
-            po_lens=po_lens_l, po_state=po_state_l,
+            po_lens=po_lens_l, po_state=po_state_l, use_pallas=use_pallas,
         )
         # merge shards: gaussian-class buffers are plain sums; closest-class
         # buffers are winner-take by depth, so resolve the cross-shard winner

@@ -26,8 +26,9 @@ def _transform_rays(cam_to_world, origins, dirs):
     """Apply a 4x4 camera->world transform to ray origins/directions."""
     rot = cam_to_world[:3, :3]
     trans = cam_to_world[:3, 3]
-    o = origins @ rot.T + trans
-    d = dirs @ rot.T
+    hp = jnp.matmul  # HIGHEST: bf16 MXU noise (~4e-3 rel) is mm-scale on world coords
+    o = hp(origins, rot.T, precision=jax.lax.Precision.HIGHEST) + trans
+    d = hp(dirs, rot.T, precision=jax.lax.Precision.HIGHEST)
     d = d / jnp.sqrt(jnp.maximum(jnp.sum(d * d, -1, keepdims=True), 1e-24))
     return o, d
 
@@ -44,8 +45,10 @@ def _transform_rays_mb(m_per_sample, origins, dirs):
     """Batched per-sample camera->world ray transform."""
     rot = m_per_sample[:, :3, :3]
     trans = m_per_sample[:, :3, 3]
-    o = jnp.einsum("nij,nj->ni", rot, origins) + trans
-    d = jnp.einsum("nij,nj->ni", rot, dirs)
+    o = jnp.einsum("nij,nj->ni", rot, origins,
+                   precision=jax.lax.Precision.HIGHEST) + trans
+    d = jnp.einsum("nij,nj->ni", rot, dirs,
+                   precision=jax.lax.Precision.HIGHEST)
     return o, d / jnp.sqrt(jnp.maximum(jnp.sum(d * d, -1, keepdims=True), 1e-24))
 
 

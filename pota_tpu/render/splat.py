@@ -240,7 +240,8 @@ def thinlens_backward_project(cfg: CameraConfig, rc: RenderConfig,
 
 def splat_frame(cfg: CameraConfig, rc: RenderConfig, scene, stream,
                 cam_to_world, po_lens=None, po_state=None, bokeh_cdf=None,
-                aovs=None, n_crypto_ids: int = 0, cam_to_world_end=None):
+                aovs=None, n_crypto_ids: int = 0, cam_to_world_end=None,
+                use_pallas: bool = True):
     """Full filter stage: gates + backward splats + buffer accumulation.
 
     Every AOV in ``aovs`` (default :data:`pota_tpu.render.aov.DEFAULT_AOVS`)
@@ -266,13 +267,16 @@ def splat_frame(cfg: CameraConfig, rc: RenderConfig, scene, stream,
             cam_to_world, cam_to_world_end, stream["time"]
         )  # [N, 4, 4]
         w2c_rot = jnp.swapaxes(c2w_s[:, :3, :3], 1, 2)
-        w2c_trans = -jnp.einsum("nij,nj->ni", w2c_rot, c2w_s[:, :3, 3])
+        w2c_trans = -jnp.einsum("nij,nj->ni", w2c_rot, c2w_s[:, :3, 3],
+                                precision=jax.lax.Precision.HIGHEST)
         p_cam = (
-            jnp.einsum("nij,nj->ni", w2c_rot, stream["P"]) + w2c_trans
+            jnp.einsum("nij,nj->ni", w2c_rot, stream["P"],
+                       precision=jax.lax.Precision.HIGHEST) + w2c_trans
         )
     else:
         w2c = world_to_camera(cam_to_world)
-        p_cam = stream["P"] @ w2c[:3, :3].T + w2c[:3, 3]
+        p_cam = jnp.matmul(stream["P"], w2c[:3, :3].T,
+                           precision=jax.lax.Precision.HIGHEST) + w2c[:3, 3]
     p_cam = p_cam * cfg.unit_scale_filter
 
     # skydome position synthesis (ref src/lentil_filter.cpp:119-133)
@@ -284,11 +288,13 @@ def splat_frame(cfg: CameraConfig, rc: RenderConfig, scene, stream,
         p_ws = jnp.where(sky[:, None], synth_ws, stream["P"])
         if cam_to_world_end is not None:
             p_cam_sky = (
-                jnp.einsum("nij,nj->ni", w2c_rot, p_ws) + w2c_trans
+                jnp.einsum("nij,nj->ni", w2c_rot, p_ws,
+                           precision=jax.lax.Precision.HIGHEST) + w2c_trans
             ) * cfg.unit_scale_filter
         else:
             p_cam_sky = (
-                p_ws @ w2c[:3, :3].T + w2c[:3, 3]
+                jnp.matmul(p_ws, w2c[:3, :3].T,
+                           precision=jax.lax.Precision.HIGHEST) + w2c[:3, 3]
             ) * cfg.unit_scale_filter
         p_cam = jnp.where(sky[:, None], p_cam_sky, p_cam)
     else:
@@ -325,7 +331,7 @@ def splat_frame(cfg: CameraConfig, rc: RenderConfig, scene, stream,
     if cfg.camera_type == CameraType.POLYNOMIAL_OPTICS:
         proj = po_backward_project(
             cfg, rc, po_lens, po_state, p_cam_safe, seeds[:, None], k_idx,
-            bokeh_cdf=bokeh_cdf,
+            bokeh_cdf=bokeh_cdf, use_pallas=use_pallas,
         )
     else:
         proj = thinlens_backward_project(
@@ -340,12 +346,14 @@ def splat_frame(cfg: CameraConfig, rc: RenderConfig, scene, stream,
     lens_cs = proj["lens_cs"] * lens_ws_scale
     if cam_to_world_end is not None:
         cam_pos_ws = (
-            jnp.einsum("nij,nkj->nki", c2w_s[:, :3, :3], lens_cs)
+            jnp.einsum("nij,nkj->nki", c2w_s[:, :3, :3], lens_cs,
+                       precision=jax.lax.Precision.HIGHEST)
             + c2w_s[:, None, :3, 3]
         )
     else:
         cam_pos_ws = (
-            lens_cs @ cam_to_world[:3, :3].T + cam_to_world[:3, 3]
+            jnp.matmul(lens_cs, cam_to_world[:3, :3].T,
+                       precision=jax.lax.Precision.HIGHEST) + cam_to_world[:3, 3]
         )
     occluded = scene.occluded(
         jnp.broadcast_to(p_ws[:, None, :], (n, k, 3)).reshape(-1, 3),
@@ -527,7 +535,7 @@ def resolve_crypto(fb: dict, ranks: int = 3):
 
 
 def po_backward_project(cfg, rc, lens, po_state, p_cam, seeds, k_idx,
-                        bokeh_cdf=None):
+                        bokeh_cdf=None, use_pallas: bool = True):
     """Backward PO projection per (source, lane) (ref trace_ray_bw_po,
     src/lentil.h:573-661 + splat loop src/lentil_filter.cpp:248-300)."""
     from ..optics.polynomial import inner_pupil_ok, lt_sample_aperture
@@ -552,9 +560,28 @@ def po_backward_project(cfg, rc, lens, po_state, p_cam, seeds, k_idx,
     target = jnp.broadcast_to(target, (n, k, 3))
     lam = jnp.full((n, k), cfg.lambda_um)
 
-    sensor5, out4, trans = lt_sample_aperture(
-        lens, target, aperture, lam, iterations=cfg.lt_newton_iterations
+    from ..ops.po_pallas import resolve_backward_kernel
+
+    kern = resolve_backward_kernel(
+        lens, cfg.lt_newton_iterations, use_pallas=use_pallas
     )
+    if kern is not None:
+        # fused per-lens backward kernel (Newton solve + pt_evaluate in
+        # VMEM; see ops/po_pallas.py build_po_backward_kernel)
+        flat = lambda a: a.reshape(-1)
+        sx_f, sy_f, sdx_f, sdy_f, trans_f = kern(
+            flat(target[..., 0]), flat(target[..., 1]),
+            flat(target[..., 2]), flat(aperture[..., 0]),
+            flat(aperture[..., 1]), flat(lam),
+        )
+        sensor5 = jnp.stack(
+            [sx_f, sy_f, sdx_f, sdy_f, flat(lam)], -1
+        ).reshape(n, k, 5)
+        trans = trans_f.reshape(n, k)
+    else:
+        sensor5, out4, trans = lt_sample_aperture(
+            lens, target, aperture, lam, iterations=cfg.lt_newton_iterations
+        )
     ok = (trans > 0.0) & inner_pupil_ok(lens, sensor5)
 
     # sensor shift compensation (ref src/lentil.h:653-655)
