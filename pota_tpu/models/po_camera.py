@@ -25,7 +25,14 @@ _FORWARD_KERNEL_CACHE: dict = {}
 
 
 def _kernel_key(lens: PolyLens, sensor_shift: float, iterations: int):
-    return (lens.name, round(float(sensor_shift), 6), iterations)
+    # digest of the concrete fit (degree + coefficients) so a refit or a
+    # different-degree fit of a same-named lens never hits a stale kernel
+    from ..ops.po_pallas import lens_digest
+
+    digest = lens_digest(lens)
+    if digest is None:
+        return None
+    return (lens.name, digest, round(float(sensor_shift), 6), iterations)
 
 
 def _resolve_forward_kernel(lens: PolyLens, sensor_shift: float,
@@ -48,6 +55,8 @@ def _resolve_forward_kernel(lens: PolyLens, sensor_shift: float,
     if jax.default_backend() == "cpu":
         return None
     key = _kernel_key(lens, sensor_shift, iterations)
+    if key is None:  # traced coefficients -> differentiable pure path
+        return None
     kern = _FORWARD_KERNEL_CACHE.get(key)
     if kern is None and not isinstance(lens.pt.coeffs, jax.core.Tracer):
         from ..ops.po_pallas import build_po_forward_kernel

@@ -34,7 +34,33 @@ TILE = SUBLANE * LANE  # rays per grid step
 
 
 def _safe_sqrt(v, eps=1e-20):
+    # matches optics.geometry.safe_sqrt: exactly 0 outside the chart domain
+    # so boundary rays get clean zero components (ADVICE r1)
+    return jnp.where(v > eps, jnp.sqrt(jnp.maximum(v, eps)), 0.0)
+
+
+def _sqrt_floor(v, eps=1e-24):
+    # strictly positive sqrt for reciprocal use (frame normalization)
     return jnp.sqrt(jnp.maximum(v, eps))
+
+
+def lens_digest(lens: PolyLens):
+    """Static digest of a lens's fitted structure+coefficients, or None if
+    the coefficients are tracers.  Used as the kernel cache key so a refit
+    or a different fit degree of a same-named lens never reuses a stale
+    kernel (ADVICE r1, medium)."""
+    import hashlib
+
+    try:
+        h = hashlib.sha1()
+        for fn in (lens.pt, lens.ap):
+            h.update(np.asarray(fn.exponents, np.int32).tobytes())
+            h.update(np.asarray(fn.coeffs, np.float64).tobytes())
+            h.update(np.asarray(fn.in_scale, np.float64).tobytes())
+            h.update(np.asarray(fn.in_shift, np.float64).tobytes())
+        return h.hexdigest()[:16]
+    except (jax.errors.TracerArrayConversionError, TypeError):
+        return None
 
 
 def _poly_static(fn):
@@ -270,8 +296,13 @@ def build_po_backward_kernel(lens: PolyLens, iterations: int = 5,
     exps, geo_coeffs, scale, shift = _poly_static(lens.pt)
     ap_exps, ap_coeffs, *_ = _poly_static(lens.ap)
     # fit.py selects one shared term set for pt and ap; the fused
-    # accumulation below relies on that
-    assert np.array_equal(exps, ap_exps), "pt/ap term sets must be shared"
+    # accumulation below relies on that (ValueError, not assert: must
+    # survive python -O — a mismatch would mean silently wrong optics)
+    if not np.array_equal(exps, ap_exps):
+        raise ValueError(
+            f"lens {lens.name!r}: pt/ap term sets must be shared for the "
+            "fused backward kernel (refit with a common term set)"
+        )
     max_deg = int(exps.max())
     s0, s1, s2, s3, s4 = (float(v) for v in scale)
     sh4 = float(shift[4])
@@ -329,7 +360,7 @@ def build_po_backward_kernel(lens: PolyLens, iterations: int = 5,
             n1 = o1 / R
             tz = _safe_sqrt(1.0 - (o2 * o2 + o3 * o3))
             # tangent frame: ex = normalize((nz, 0, -n0)); ey = n x ex
-            inv_exn = 1.0 / _safe_sqrt(nz * nz + n0 * n0, 1e-24)
+            inv_exn = 1.0 / _sqrt_floor(nz * nz + n0 * n0, 1e-24)
             e0 = nz * inv_exn
             e2 = -n0 * inv_exn
             f0 = n1 * e2
@@ -470,7 +501,10 @@ def resolve_backward_kernel(lens: PolyLens, iterations: int,
         return None
     if jax.default_backend() == "cpu":
         return None
-    key = (lens.name, iterations)
+    digest = lens_digest(lens)
+    if digest is None:  # traced coefficients -> differentiable pure path
+        return None
+    key = (lens.name, digest, iterations)
     kern = _BACKWARD_KERNEL_CACHE.get(key)
     if kern is None and not isinstance(lens.pt.coeffs, jax.core.Tracer):
         kern = build_po_backward_kernel(lens, iterations=iterations)

@@ -6,6 +6,7 @@ perturbation) — re-derived array-first for TPU.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 

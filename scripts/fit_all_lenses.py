@@ -39,6 +39,7 @@ def main():
     names = lens_names()
     shard = int(sys.argv[1]) if len(sys.argv) > 1 else 0
     nshards = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    failed = []
     for i, name in enumerate(names):
         if i % nshards != shard:
             continue
@@ -48,6 +49,11 @@ def main():
                 fit_one(name, 6)  # wide-angle needs higher degree (NOTES #8)
         except Exception as e:  # keep going; report at the end
             print(f"[FAIL] {name}: {e}", flush=True)
+            failed.append(name)
+    if failed:
+        print(f"[FAIL] {len(failed)} lens fits failed: {', '.join(failed)}",
+              flush=True)
+        sys.exit(1)
 
 
 if __name__ == "__main__":
