@@ -83,7 +83,17 @@ class CameraConfig:
 
     # TPU-build additions (no reference counterpart): static shape controls.
     # The reference uses data-dependent loops; XLA needs static bounds.
-    max_bidir_samples: int = 64         # static cap on backward splats/sample
+    #
+    # The bidirectional splat runs on a flat *queue* of slots: every
+    # redistributed sample claims ``budget`` (x3 when chromatic) contiguous
+    # slots via a cumsum of budgets, so big-CoC highlights get their full
+    # [4, 2000] budget (ref src/lentil_filter.cpp:197-202) instead of a flat
+    # per-sample lane cap.  ``splat_queue_mult`` sizes the static queue as
+    # ``mult * n_samples``; when the frame's total budget exceeds the queue,
+    # budgets are rescaled proportionally (the analog of the reference's
+    # 5x overshoot cap — a *global* work bound instead of a per-sample one).
+    max_bidir_samples: int = 2000       # per-sample budget clamp (ref: 2000)
+    splat_queue_mult: int = 16          # splat queue slots per AA sample
     lt_newton_iterations: int = 5       # backward-splat Newton solve depth
     # When False, gradients treat the backward-splat landing positions as
     # constant (energy values stay differentiable through the forward
@@ -158,6 +168,12 @@ class RenderConfig:
     filter_width: float = 1.5      # ref src/lentil.h:1083-1088 (1.0 if OIDN)
     enable_redistribution: bool = True
     enable_id_matte: bool = False  # cryptomatte-style ranked id coverage AOV
+    # Reference-parity AA gate: the reference disables redistribution when
+    # the sample density is below the final AA level (inv_density > 0.2,
+    # src/lentil_filter.cpp:79-88,108-113 — IPR/preview passes).  Here spp
+    # is explicit, so the gate is opt-in; a per-sample "inv_density" stream
+    # field always applies the 0.2 threshold regardless of this flag.
+    enforce_aa_gate: bool = False
 
     @property
     def xres_region(self) -> int:

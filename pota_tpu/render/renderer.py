@@ -121,7 +121,7 @@ def resolve_gaussian(rc: RenderConfig, stream: dict) -> jnp.ndarray:
     r = (2.0 / rc.filter_width) ** 2 * (stream["ox"] ** 2 + stream["oy"] ** 2)
     w = jnp.where(r > 1.0, 0.0, jnp.exp(-2.0 * r))
     rgba_w = stream["rgba"] * w[:, None]
-    h, wres, spp = rc.yres, rc.xres, rc.spp
+    h, wres, spp = rc.yres_region, rc.xres_region, rc.spp
     num = rgba_w.reshape(h, wres, spp, 4).sum(axis=2)
     den = w.reshape(h, wres, spp).sum(axis=2)
     return num / jnp.maximum(den, 1e-12)[..., None]

@@ -33,18 +33,28 @@ def pixel_to_linear(rc: RenderConfig, px, py):
 
 
 def frame_samples(rc: RenderConfig, seed: int):
-    """Generate the full frame's sample coordinates.
+    """Generate the frame's sample coordinates (render-region aware).
 
-    Returns dict with flattened [N = H*W*spp] arrays: px, py (int32),
-    sx, sy (screen coords), r1, r2 (lens uniforms), ox, oy (offset from
-    pixel center in pixel units, for gaussian filtering).
+    Returns dict with flattened [N = H_region*W_region*spp] arrays: px, py
+    (int32, *absolute* full-frame pixel indices), sx, sy (screen coords in
+    full-frame NDC, matching the reference's region handling at
+    src/lentil_filter.cpp:97-99 / src/lentil.h:1061-1080), r1, r2 (lens
+    uniforms), ox, oy (offset from pixel center, for gaussian filtering).
     """
-    h, w, spp = rc.yres, rc.xres, rc.spp
-    px = jnp.tile(jnp.arange(w, dtype=jnp.int32)[None, :, None], (h, 1, spp))
-    py = jnp.tile(jnp.arange(h, dtype=jnp.int32)[:, None, None], (1, w, spp))
+    h, w, spp = rc.yres_region, rc.xres_region, rc.spp
+    px = jnp.tile(
+        (rc.region_min_x + jnp.arange(w, dtype=jnp.int32))[None, :, None],
+        (h, 1, spp),
+    )
+    py = jnp.tile(
+        (rc.region_min_y + jnp.arange(h, dtype=jnp.int32))[:, None, None],
+        (1, w, spp),
+    )
     sid = jnp.broadcast_to(jnp.arange(spp, dtype=jnp.uint32), (h, w, spp))
 
-    linear = (py * w + px).astype(jnp.uint32)
+    # seed by *absolute* pixel so a region render reproduces the exact
+    # samples of the corresponding full-frame pixels
+    linear = (py * rc.xres + px).astype(jnp.uint32)
     key = prng.tea(linear, jnp.uint32(seed))
     u = prng.uniforms(key, sid, 5)  # [h, w, spp, 5]
     jx, jy, r1, r2, tu = (u[..., i] for i in range(5))

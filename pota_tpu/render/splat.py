@@ -8,12 +8,27 @@ occlusion probe — splatting energy into shared full-frame buffers with
 benign data races; ``imager_lentil`` later normalizes by the accumulated
 filter weight (``src/lentil_imager.cpp:66-193``).
 
-Here the whole thing is one fused array program:
+Here the whole thing is one fused array program built around a **flat splat
+queue**:
 
-* the gate chain becomes boolean masks (SURVEY.md §7.5);
-* the per-sample adaptive budget [4, 2000] becomes a static K lane axis with
-  a ``k < budget_i`` mask; per-splat weight is 1/successes so energy is
-  conserved exactly like the reference's retry-until-success loop;
+* the gate chain (skydome, volume, transmitted-energy, lentil_ignore,
+  CoC threshold, inside-lens, adaptive-density — ref
+  ``src/lentil_filter.cpp:105-240``) becomes boolean masks;
+* the per-sample adaptive budget [4, 2000] becomes a contiguous slot range
+  in a static queue of ``S = splat_queue_mult * N`` slots: ``offsets =
+  cumsum(budget)`` and ``source = searchsorted(offsets, slot)`` give a
+  fully load-balanced slot->source mapping, so a 2000-splat highlight and a
+  4-splat mid-tone cost exactly what they use (the reference's while-loop
+  work distribution, vectorized).  When the frame's total budget exceeds
+  the queue, budgets are rescaled proportionally — the global analog of the
+  reference's ``max_total_samples = 5*samples`` overshoot cap
+  (``src/lentil_filter.cpp:201-202``);
+* chromatic polynomial-optics splatting traces 3 wavelength-shifted
+  backward rays per budget unit with rgb weights (3,0,0)/(0,3,0)/(0,0,3)
+  (ref ``src/lentil_filter.cpp:255-267``) — the channel is the slot index
+  mod 3, so all three share one aperture point like the reference;
+* per-splat weight is ``inv_density / successes`` so energy is conserved
+  exactly like the reference's retry-until-success loop;
 * the unsynchronized `+=` splats become deterministic ``scatter-add``
   (`.at[].add`), which also gives a clean linear VJP — the redistribution
   is differentiable end-to-end;
@@ -43,7 +58,7 @@ def world_to_camera(cam_to_world):
 
 def _luminance(rgb):
     # the reference's redistribution luminance is the channel mean
-    # (src/lentil_filter.cpp:161)
+    # (src/lentil_filter.cpp:160)
     return (rgb[..., 0] + rgb[..., 1] + rgb[..., 2]) / 3.0
 
 
@@ -51,22 +66,53 @@ def compute_gates_and_budget(cfg: CameraConfig, rc: RenderConfig, stream,
                              cam_space_pos, po_lens=None, po_state=None):
     """The redistribute-or-not gate chain + per-sample backward budget.
 
-    Ports the gates at src/lentil_filter.cpp:105-240 (skydome, CoC
-    threshold, inside-lens, luminance-scaled budget in [4, 2000]).
-    Returns (redistribute mask, budget [N] int, coc [N], skydome mask).
+    Ports the gates at src/lentil_filter.cpp:105-240:
+
+    * adaptive-sampling density gate: ``inv_density > 0.2`` disables
+      redistribution (ref :108-113; an optional per-sample ``inv_density``
+      stream field overrides the static ``1/spp``);
+    * skydome without ray direction (ref :119-133);
+    * volume-in-sample (``volume`` AOV, ref :135-138);
+    * transmitted-energy: unless ``enable_bidir_transmission``, samples
+      carrying transmission energy don't redistribute and the transmitted
+      part is subtracted from the luminance driving the budget
+      (ref :152-159);
+    * ``lentil_ignore`` AOV > 0 (ref :161-163);
+    * CoC < 0.4 px threshold (ref :183-187);
+    * inside-lens for PO (ref :243).
+
+    Returns (redistribute mask, budget [N] int clamped to
+    [4, max_bidir_samples], coc [N], skydome mask).
     """
     z = stream["z"]
-    inv_density = 1.0 / rc.spp
+    if "inv_density" in stream:
+        inv_density = stream["inv_density"]
+        redistribute = inv_density <= 0.2
+    else:
+        inv_density = 1.0 / rc.spp
+        redistribute = jnp.ones_like(z, dtype=bool)
+        if inv_density > 0.2 and rc.enforce_aa_gate:
+            redistribute = jnp.zeros_like(z, dtype=bool)
 
     sky = (z >= 1e29) | (jnp.linalg.norm(stream["P"], axis=-1) < 1e-7)
-    redistribute = jnp.ones_like(z, dtype=bool)
     if cfg.enable_skydome:
         ray_ok = jnp.linalg.norm(stream["raydir"], axis=-1) > 1e-7
         redistribute &= ~sky | ray_ok
     else:
         redistribute &= ~sky
 
-    lum = _luminance(stream["rgba"])
+    rgb = stream["rgba"][..., :3]
+    if "volume" in stream:
+        redistribute &= ~(jnp.max(stream["volume"], axis=-1) > 0.0)
+    if "transmission" in stream and not cfg.enable_bidir_transmission:
+        tr = stream["transmission"][..., :3]
+        transmitted = jnp.max(tr, axis=-1) > 0.0
+        redistribute &= ~transmitted
+        rgb = jnp.where(transmitted[..., None], rgb - tr, rgb)
+    if "lentil_ignore" in stream:
+        redistribute &= ~(stream["lentil_ignore"] > 0.0)
+
+    lum = _luminance(rgb)
     lum_mult = jnp.maximum(
         0.0, jnp.sqrt(jnp.minimum(lum, 20.0)) * cfg.bidir_sample_mult
     )
@@ -88,15 +134,44 @@ def compute_gates_and_budget(cfg: CameraConfig, rc: RenderConfig, stream,
     redistribute &= coc >= 0.4
 
     budget = jnp.ceil(coc_px * inv_density).astype(jnp.int32)
-    budget = jnp.clip(budget, 4, 2000)
+    budget = jnp.clip(budget, 4, cfg.max_bidir_samples)
     return redistribute, budget, coc, sky
+
+
+def splat_queue(budget, redistribute, rays_per_count: int, queue_size: int):
+    """Build the flat slot->source mapping for the splat queue.
+
+    Every redistributed source claims ``budget * rays_per_count`` contiguous
+    slots.  If the total exceeds ``queue_size``, all budgets are rescaled
+    proportionally (global work bound, the analog of the reference's 5x
+    overshoot cap).  Returns (src [S] int32 clamped, lane [S] int32 within-
+    source slot index, slot_on [S] bool, slots [N] int32 granted slots).
+    """
+    n = budget.shape[0]
+    slots = jnp.where(redistribute, budget * rays_per_count, 0)
+    total = jnp.sum(slots.astype(jnp.float32))
+    scale = jnp.minimum(
+        1.0, (queue_size * (1.0 - 1e-6)) / jnp.maximum(total, 1.0)
+    )
+    slots = jnp.floor(slots.astype(jnp.float32) * scale).astype(jnp.int32)
+    offsets = jnp.cumsum(slots)                      # [N], ends; sum <= S
+    starts = offsets - slots
+    q = jnp.arange(queue_size, dtype=jnp.int32)
+    src = jnp.searchsorted(offsets, q, side="right").astype(jnp.int32)
+    slot_on = q < offsets[-1]
+    src = jnp.minimum(src, n - 1)
+    lane = jnp.where(slot_on, q - starts[src], 0)
+    return src, lane, slot_on, slots
 
 
 def thinlens_backward_project(cfg: CameraConfig, rc: RenderConfig,
                               cam_space_pos, seeds, k_idx, bokeh_cdf=None):
-    """One backward thin-lens sample per (source, lane): scene point -> pixel.
+    """One backward thin-lens sample per slot: scene point -> pixel.
 
-    Port of the splat loop body at src/lentil_filter.cpp:311-446.
+    Port of the splat loop body at src/lentil_filter.cpp:311-446.  All
+    inputs are flat [S] (or [S, 3]); ``k_idx`` is the within-source splat
+    counter feeding the counter RNG (the reference's
+    ``tea(px*py+px, total_samples_taken)`` seeding).
     Returns dict with pixel coords, lens point (camera space), rgb channel
     weight, validity pieces left to the caller (occlusion, bounds).
     """
@@ -224,11 +299,9 @@ def thinlens_backward_project(cfg: CameraConfig, rc: RenderConfig,
             sensor_position, cfg.abb_distortion
         )
 
-    aspect = rc.xres / rc.yres
-    s_x = sensor_position[..., 0]
-    s_y = sensor_position[..., 1] * aspect
-    pixel_x = ((s_x + 1.0) / 2.0) * rc.xres
-    pixel_y = ((-s_y + 1.0) / 2.0) * rc.yres
+    pixel_x, pixel_y = _sensor_to_pixel(
+        rc, sensor_position[..., 0], sensor_position[..., 1]
+    )
     return {
         "pixel_x": pixel_x,
         "pixel_y": pixel_y,
@@ -238,24 +311,41 @@ def thinlens_backward_project(cfg: CameraConfig, rc: RenderConfig,
     }
 
 
+def _sensor_to_pixel(rc: RenderConfig, s_x, s_y):
+    """Region-aware sensor->pixel mapping (ref src/lentil_filter.cpp:276-278:
+    full-frame NDC mapped with the *full* resolution, then shifted into the
+    render region)."""
+    aspect = rc.xres / rc.yres
+    s_y = s_y * aspect
+    pixel_x = ((s_x + 1.0) / 2.0) * rc.xres - rc.region_min_x
+    pixel_y = ((-s_y + 1.0) / 2.0) * rc.yres - rc.region_min_y
+    return pixel_x, pixel_y
+
+
 def splat_frame(cfg: CameraConfig, rc: RenderConfig, scene, stream,
                 cam_to_world, po_lens=None, po_state=None, bokeh_cdf=None,
                 aovs=None, n_crypto_ids: int = 0, cam_to_world_end=None,
-                use_pallas: bool = True):
+                use_pallas: bool = True, queue_size: int | None = None):
     """Full filter stage: gates + backward splats + buffer accumulation.
 
     Every AOV in ``aovs`` (default :data:`pota_tpu.render.aov.DEFAULT_AOVS`)
-    rides the same splat lanes; gaussian-class AOVs accumulate
+    rides the same splat queue; gaussian-class AOVs accumulate
     value*weight, closest-class AOVs are winner-take by depth.  Returns the
     framebuffer dict consumed by :func:`resolve_imager` (one [H, W, 4]
-    buffer per AOV + the RGBA filter-weight plane).
+    buffer per AOV + the RGBA filter-weight plane); H, W are the render
+    region's resolution (ref src/lentil.h:1061-1080).
     """
     from .aov import CLOSEST, DEFAULT_AOVS, GAUSSIAN, aov_value_rgba
 
     if aovs is None:
         aovs = DEFAULT_AOVS
     n = stream["rgba"].shape[0]
-    k = cfg.max_bidir_samples
+    chroma = (
+        cfg.camera_type == CameraType.POLYNOMIAL_OPTICS
+        and cfg.abb_chromatic > 0.0
+    )
+    rays_per_count = 3 if chroma else 1
+    s_cap = queue_size if queue_size is not None else cfg.splat_queue_mult * n
     inv_density = 1.0 / rc.spp
 
     # per-sample camera matrices over the shutter (motion blur,
@@ -314,100 +404,108 @@ def splat_frame(cfg: CameraConfig, rc: RenderConfig, scene, stream,
     else:
         add_energy = jnp.zeros_like(lum)
 
-    # ---- backward splats: [N, K] lanes ---------------------------------
+    # ---- backward splats: flat queue of S slots --------------------------
+    src, lane, slot_on, _slots = splat_queue(
+        budget, redistribute, rays_per_count, s_cap
+    )
+    counter = (lane // rays_per_count).astype(jnp.uint32)
+    channel = (lane % rays_per_count).astype(jnp.int32) if chroma else None
+
     seeds = (
         stream["px"].astype(jnp.uint32) * stream["py"].astype(jnp.uint32)
         + stream["px"].astype(jnp.uint32)
     )
-    k_idx = jnp.broadcast_to(jnp.arange(k, dtype=jnp.uint32)[None, :], (n, k))
+    seed_q = seeds[src]
     # Gated-out samples (sky with P=0, inside-lens, ...) can hold degenerate
-    # positions that produce NaN/Inf inside the projections.  Their lanes
+    # positions that produce NaN/Inf inside the projections.  Their slots
     # are masked below, but NaN x 0 still poisons gradients and Newton
     # solves, so substitute a benign position first.
     p_cam_safe = jnp.where(
         redistribute[:, None], p_cam,
         jnp.asarray([0.0, 0.0, -100.0], p_cam.dtype),
     )
+    p_cam_q = p_cam_safe[src]
     if cfg.camera_type == CameraType.POLYNOMIAL_OPTICS:
         proj = po_backward_project(
-            cfg, rc, po_lens, po_state, p_cam_safe, seeds[:, None], k_idx,
-            bokeh_cdf=bokeh_cdf, use_pallas=use_pallas,
+            cfg, rc, po_lens, po_state, p_cam_q, seed_q, counter,
+            channel=channel, bokeh_cdf=bokeh_cdf, use_pallas=use_pallas,
         )
     else:
         proj = thinlens_backward_project(
-            cfg, rc, p_cam_safe[:, None, :], seeds[:, None], k_idx,
-            bokeh_cdf=bokeh_cdf,
+            cfg, rc, p_cam_q, seed_q, counter, bokeh_cdf=bokeh_cdf,
         )
     if not cfg.differentiate_splat_geometry:
         proj = jax.tree_util.tree_map(jax.lax.stop_gradient, proj)
 
-    # occlusion probe in world space (ref AiTraceProbe, filter.cpp:355-375)
+    # occlusion probe in world space (ref AiTraceProbe, filter.cpp:355-375;
+    # lens point scaled 1/unit into scene units, ref src/lentil.h:613-619)
     lens_ws_scale = 1.0 / cfg.unit_scale_filter
     lens_cs = proj["lens_cs"] * lens_ws_scale
     if cam_to_world_end is not None:
+        c2w_q = c2w_s[src]
         cam_pos_ws = (
-            jnp.einsum("nij,nkj->nki", c2w_s[:, :3, :3], lens_cs,
+            jnp.einsum("sij,sj->si", c2w_q[:, :3, :3], lens_cs,
                        precision=jax.lax.Precision.HIGHEST)
-            + c2w_s[:, None, :3, 3]
+            + c2w_q[:, :3, 3]
         )
     else:
         cam_pos_ws = (
             jnp.matmul(lens_cs, cam_to_world[:3, :3].T,
                        precision=jax.lax.Precision.HIGHEST) + cam_to_world[:3, 3]
         )
-    occluded = scene.occluded(
-        jnp.broadcast_to(p_ws[:, None, :], (n, k, 3)).reshape(-1, 3),
-        cam_pos_ws.reshape(-1, 3),
-    ).reshape(n, k)
-    occluded = occluded & ~sky[:, None]
+    p_ws_q = p_ws[src]
+    occluded = scene.occluded(p_ws_q, cam_pos_ws)
+    occluded = occluded & ~sky[src]
 
+    xres_r, yres_r = rc.xres_region, rc.yres_region
     in_bounds = (
         (proj["pixel_x"] >= 0)
-        & (proj["pixel_x"] < rc.xres)
+        & (proj["pixel_x"] < xres_r)
         & (proj["pixel_y"] >= 0)
-        & (proj["pixel_y"] < rc.yres)
+        & (proj["pixel_y"] < yres_r)
         & jnp.isfinite(proj["pixel_x"])
         & jnp.isfinite(proj["pixel_y"])
     )
-    lane_active = k_idx < jnp.minimum(budget, k)[:, None]
     valid = (
-        lane_active & in_bounds & proj["ov_ok"] & ~occluded
-        & redistribute[:, None]
+        slot_on & in_bounds & proj["ov_ok"] & ~occluded & redistribute[src]
     )
 
-    successes = valid.sum(-1)
+    successes = jnp.zeros((n,), jnp.int32).at[src].add(
+        valid.astype(jnp.int32)
+    )
     inv_success = jnp.where(successes > 0, 1.0 / successes, 0.0)
 
-    # fall back to the source pixel when no lane succeeded
+    # fall back to the source pixel when no slot succeeded
     use_source = (~redistribute) | (successes == 0)
 
     px_splat = jnp.clip(
-        jnp.floor(proj["pixel_x"]).astype(jnp.int32), 0, rc.xres - 1
+        jnp.floor(proj["pixel_x"]).astype(jnp.int32), 0, xres_r - 1
     )
     py_splat = jnp.clip(
-        jnp.floor(proj["pixel_y"]).astype(jnp.int32), 0, rc.yres - 1
+        jnp.floor(proj["pixel_y"]).astype(jnp.int32), 0, yres_r - 1
     )
-    lin_splat = py_splat * rc.xres + px_splat
-    lin_source = stream["py"] * rc.xres + stream["px"]
+    lin_splat = py_splat * xres_r + px_splat
+    lin_source = (
+        (stream["py"] - rc.region_min_y) * xres_r
+        + (stream["px"] - rc.region_min_x)
+    )
 
     # weight chain (ref src/lentil_filter.cpp:295-298, 442-444)
-    w_lane = jnp.where(valid, inv_density * inv_success[:, None], 0.0)
+    w_slot = jnp.where(valid, inv_density * inv_success[src], 0.0)
     rgbw = jnp.concatenate(
         [proj["rgb_weight"], jnp.ones_like(proj["rgb_weight"][..., :1])], -1
     )
     w_src = jnp.where(use_source, inv_density, 0.0)
 
-    npix = rc.xres * rc.yres
-    nk = n * k
+    npix = xres_r * yres_r
+    s_q = src.shape[0]
     dtype = stream["rgba"].dtype
 
-    # ---- writers: all splat lanes + the source-pixel fallback path -------
-    writer_pix = jnp.concatenate([lin_splat.reshape(-1), lin_source])
-    writer_valid = jnp.concatenate([valid.reshape(-1), use_source])
+    # ---- writers: all queue slots + the source-pixel fallback path -------
+    writer_pix = jnp.concatenate([lin_splat, lin_source])
+    writer_valid = jnp.concatenate([valid, use_source])
     depth_src = jnp.abs(stream["z"])
-    writer_depth = jnp.concatenate(
-        [jnp.broadcast_to(depth_src[:, None], (n, k)).reshape(-1), depth_src]
-    )
+    writer_depth = jnp.concatenate([depth_src[src], depth_src])
 
     # per-sample AOV stream values (debug AOV = backward budget,
     # ref src/lentil_filter.cpp:209-211)
@@ -426,7 +524,7 @@ def splat_frame(cfg: CameraConfig, rc: RenderConfig, scene, stream,
         jnp.where(writer_valid, writer_depth, big)
     )
     is_min = writer_valid & (writer_depth <= zmin_buf[writer_pix])
-    wid = jnp.arange(nk + n, dtype=jnp.int32)
+    wid = jnp.arange(s_q + n, dtype=jnp.int32)
     winner_buf = jnp.full((npix,), jnp.iinfo(jnp.int32).max, jnp.int32)
     winner_buf = winner_buf.at[writer_pix].min(
         jnp.where(is_min, wid, jnp.iinfo(jnp.int32).max)
@@ -438,32 +536,28 @@ def splat_frame(cfg: CameraConfig, rc: RenderConfig, scene, stream,
 
     for spec in aovs:
         values = aov_value_rgba(stream, spec)  # [N, 4]
-        lane_vals = jnp.broadcast_to(values[:, None, :], (n, k, 4))
+        slot_vals = values[src]  # [S, 4]
+        if spec.name == "RGBA" and spec.filter == GAUSSIAN:
+            # additional energy rides the redistributed RGBA splats only
+            # (ref src/lentil.h:823-830: add_to_buffer's add_energy term;
+            # the source-pixel fallback path never adds it)
+            slot_vals = slot_vals + (add_energy[src])[:, None] * jnp.asarray(
+                [1.0, 1.0, 1.0, 0.0], dtype
+            )
 
         if spec.filter == GAUSSIAN:
             if spec.name == "RGBA":
-                # additional energy rides RGBA only (ref filter.cpp:172-174)
-                values = values + add_energy[:, None] * jnp.asarray(
-                    [1.0, 1.0, 1.0, 0.0], dtype
-                )
-                lane_vals = jnp.broadcast_to(values[:, None, :], (n, k, 4))
-                lane_contrib = lane_vals * rgbw * w_lane[..., None]
+                slot_contrib = slot_vals * rgbw * w_slot[..., None]
             else:
-                lane_contrib = lane_vals * w_lane[..., None]
+                slot_contrib = slot_vals * w_slot[..., None]
             buf = jnp.zeros((npix, 4), dtype)
-            buf = buf.at[lin_splat.reshape(-1)].add(
-                lane_contrib.reshape(-1, 4)
-            )
+            buf = buf.at[lin_splat].add(slot_contrib)
             buf = buf.at[lin_source].add(values * w_src[:, None])
             if spec.name == "RGBA":
-                weight_buf = weight_buf.at[lin_splat.reshape(-1)].add(
-                    w_lane.reshape(-1)
-                )
+                weight_buf = weight_buf.at[lin_splat].add(w_slot)
                 weight_buf = weight_buf.at[lin_source].add(w_src)
         else:  # CLOSEST: winner-take write by depth
-            writer_vals = jnp.concatenate(
-                [lane_vals.reshape(-1, 4), values], 0
-            )
+            writer_vals = jnp.concatenate([slot_vals, values], 0)
             if spec.name == "lentil_debug":
                 # debug only records nonzero counts (ref src/lentil.h:838-843)
                 nz = writer_vals[:, 0] != 0.0
@@ -474,7 +568,7 @@ def splat_frame(cfg: CameraConfig, rc: RenderConfig, scene, stream,
             buf = buf.at[writer_pix].add(
                 writer_vals * take[:, None].astype(dtype)
             )
-        buffers[spec.name] = buf.reshape(rc.yres, rc.xres, 4)
+        buffers[spec.name] = buf.reshape(yres_r, xres_r, 4)
 
     # ---- id-matte (cryptomatte capability, SURVEY.md C13): dense per-id
     # coverage accumulated with the same splat weight chain
@@ -484,21 +578,21 @@ def splat_frame(cfg: CameraConfig, rc: RenderConfig, scene, stream,
         id_safe = jnp.maximum(oid, 0)
         has_id = oid >= 0
         crypto = jnp.zeros((npix * n_crypto_ids,), dtype)
-        lane_cidx = lin_splat * n_crypto_ids + id_safe[:, None]
-        crypto = crypto.at[lane_cidx.reshape(-1)].add(
-            jnp.where(has_id[:, None], w_lane, 0.0).reshape(-1)
+        slot_cidx = lin_splat * n_crypto_ids + id_safe[src]
+        crypto = crypto.at[slot_cidx].add(
+            jnp.where(has_id[src], w_slot, 0.0)
         )
         crypto = crypto.at[lin_source * n_crypto_ids + id_safe].add(
             jnp.where(has_id, w_src, 0.0)
         )
         total = jnp.zeros((npix,), dtype)
-        total = total.at[lin_splat.reshape(-1)].add(w_lane.reshape(-1))
+        total = total.at[lin_splat].add(w_slot)
         total = total.at[lin_source].add(w_src)
-        buffers["crypto"] = crypto.reshape(rc.yres, rc.xres, n_crypto_ids)
-        buffers["crypto_total"] = total.reshape(rc.yres, rc.xres)
+        buffers["crypto"] = crypto.reshape(yres_r, xres_r, n_crypto_ids)
+        buffers["crypto_total"] = total.reshape(yres_r, xres_r)
 
-    buffers["filter_weight"] = weight_buf.reshape(rc.yres, rc.xres)
-    buffers["zmin"] = zmin_buf.reshape(rc.yres, rc.xres)
+    buffers["filter_weight"] = weight_buf.reshape(yres_r, xres_r)
+    buffers["zmin"] = zmin_buf.reshape(yres_r, xres_r)
     return buffers
 
 
@@ -534,15 +628,23 @@ def resolve_crypto(fb: dict, ranks: int = 3):
     return layers
 
 
-def po_backward_project(cfg, rc, lens, po_state, p_cam, seeds, k_idx,
-                        bokeh_cdf=None, use_pallas: bool = True):
-    """Backward PO projection per (source, lane) (ref trace_ray_bw_po,
-    src/lentil.h:573-661 + splat loop src/lentil_filter.cpp:248-300)."""
+def po_backward_project(cfg, rc, lens, po_state, p_cam, seeds, counter,
+                        channel=None, bokeh_cdf=None,
+                        use_pallas: bool = True):
+    """Backward PO projection per queue slot (ref trace_ray_bw_po,
+    src/lentil.h:573-661 + splat loop src/lentil_filter.cpp:248-300).
+
+    ``channel`` [S] in {0, 1, 2} selects the chromatic wavelength/weight:
+    R: lambda = lerp(1-ca, 0.35, 0.55), weight (3,0,0); G: 0.55, (0,3,0);
+    B: lerp(ca, 0.55, 0.85), (0,0,3) — ref src/lentil_filter.cpp:255-267.
+    ``None`` means monochromatic at ``cfg.lambda_um`` with white weight.
+    All three channels of one counter value share an aperture point (the
+    reference seeds the aperture RNG per count, not per channel).
+    """
     from ..optics.polynomial import inner_pupil_ok, lt_sample_aperture
     from ..optics import samplers as smp
 
-    n, k = k_idx.shape
-    u = prng.uniforms(seeds, k_idx, 4)
+    u = prng.uniforms(seeds, counter, 4)
     r1, r2 = u[..., 0], u[..., 1]
 
     if cfg.bokeh_enable_image and bokeh_cdf is not None:
@@ -556,9 +658,18 @@ def po_backward_project(cfg, rc, lens, po_state, p_cam, seeds, k_idx,
         )
     aperture = unit_disk * po_state.aperture_radius
 
-    target = -p_cam[:, None, :] * 10.0  # ref src/lentil_filter.cpp:271
-    target = jnp.broadcast_to(target, (n, k, 3))
-    lam = jnp.full((n, k), cfg.lambda_um)
+    target = -p_cam * 10.0  # ref src/lentil_filter.cpp:271
+    shape = p_cam.shape[:-1]
+    if channel is None:
+        lam = jnp.full(shape, cfg.lambda_um)
+        rgb_weight = jnp.ones(shape + (3,))
+    else:
+        ca = cfg.abb_chromatic
+        lam_tab = jnp.asarray(
+            [0.35 + (1.0 - ca) * 0.2, 0.55, 0.55 + ca * 0.3], jnp.float32
+        )
+        lam = lam_tab[channel]
+        rgb_weight = (jnp.eye(3, dtype=jnp.float32) * 3.0)[channel]
 
     from ..ops.po_pallas import resolve_backward_kernel
 
@@ -568,16 +679,12 @@ def po_backward_project(cfg, rc, lens, po_state, p_cam, seeds, k_idx,
     if kern is not None:
         # fused per-lens backward kernel (Newton solve + pt_evaluate in
         # VMEM; see ops/po_pallas.py build_po_backward_kernel)
-        flat = lambda a: a.reshape(-1)
         sx_f, sy_f, sdx_f, sdy_f, trans_f = kern(
-            flat(target[..., 0]), flat(target[..., 1]),
-            flat(target[..., 2]), flat(aperture[..., 0]),
-            flat(aperture[..., 1]), flat(lam),
+            target[..., 0], target[..., 1], target[..., 2],
+            aperture[..., 0], aperture[..., 1], lam,
         )
-        sensor5 = jnp.stack(
-            [sx_f, sy_f, sdx_f, sdy_f, flat(lam)], -1
-        ).reshape(n, k, 5)
-        trans = trans_f.reshape(n, k)
+        sensor5 = jnp.stack([sx_f, sy_f, sdx_f, sdy_f, lam], -1)
+        trans = trans_f
     else:
         sensor5, out4, trans = lt_sample_aperture(
             lens, target, aperture, lam, iterations=cfg.lt_newton_iterations
@@ -588,24 +695,23 @@ def po_backward_project(cfg, rc, lens, po_state, p_cam, seeds, k_idx,
     sx = sensor5[..., 0] + sensor5[..., 2] * -po_state.sensor_shift
     sy = sensor5[..., 1] + sensor5[..., 3] * -po_state.sensor_shift
 
-    aspect = rc.xres / rc.yres
-    s_x = sx / (cfg.sensor_width * 0.5)
-    s_y = sy / (cfg.sensor_width * 0.5) * aspect
-    pixel_x = ((s_x + 1.0) / 2.0) * rc.xres
-    pixel_y = ((-s_y + 1.0) / 2.0) * rc.yres
+    pixel_x, pixel_y = _sensor_to_pixel(
+        rc, sx / (cfg.sensor_width * 0.5), sy / (cfg.sensor_width * 0.5)
+    )
 
-    # lens point for the occlusion probe, in camera units
-    # (ref src/lentil.h:613-619: -aperture*0.1 then per-unit rescale; for cm
-    # that is -aperture * 0.1)
+    # lens point for the occlusion probe: -aperture * 0.1 puts the mm-space
+    # aperture point in cm; the caller divides by unit_scale_filter exactly
+    # like the reference's per-unit rescale (ref src/lentil.h:613-619:
+    # mm /= 0.1, cm /= 1, dm /= 10, m /= 100)
     lens_cs = jnp.concatenate(
         [-aperture * 0.1, jnp.zeros_like(aperture[..., :1])], -1
-    ) * (cfg.unit_scale_filter / 1.0)
+    )
 
     return {
         "pixel_x": pixel_x,
         "pixel_y": pixel_y,
         "lens_cs": lens_cs,
-        "rgb_weight": jnp.ones((n, k, 3)),
+        "rgb_weight": rgb_weight,
         "ov_ok": ok,
     }
 
