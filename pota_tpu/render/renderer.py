@@ -99,7 +99,7 @@ def render_sample_stream(cfg: CameraConfig, rc: RenderConfig, scene,
         origin_ws, dir_ws = _transform_rays(cam_to_world, origin_cs, dir_cs)
     shaded = scene.shade(origin_ws, dir_ws)
     rgba = shaded["rgba"] * weight[:, None]
-    return {
+    stream = {
         **samples,
         "rgba": rgba,
         "z": shaded["z"],
@@ -109,6 +109,13 @@ def render_sample_stream(cfg: CameraConfig, rc: RenderConfig, scene,
         "hit": shaded["hit"],
         "obj_id": shaded["obj_id"],
     }
+    # optional AOVs the scene may emit (transmission, volume, ...) ride the
+    # sample stream in the same units as rgba (ref src/lentil_filter.cpp:152)
+    if "transmission" in shaded:
+        stream["transmission"] = shaded["transmission"] * weight[:, None]
+    if "volume" in shaded:
+        stream["volume"] = shaded["volume"]
+    return stream
 
 
 def resolve_gaussian(rc: RenderConfig, stream: dict) -> jnp.ndarray:

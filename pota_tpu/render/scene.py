@@ -35,11 +35,18 @@ class SphereScene:
     sky_color: jnp.ndarray     # [3] skydome radiance
     light_dir: jnp.ndarray     # [3] direction *toward* the light
     light_color: jnp.ndarray   # [3]
+    # optional thin-glass transmission color per sphere ([S, 3] or None):
+    # transmissive spheres pass the radiance behind them straight through,
+    # and shade() reports the transmitted part as a separate "transmission"
+    # stream field — the per-sample transmission AOV the reference filter
+    # subtracts before redistribution (src/lentil_filter.cpp:152-159)
+    transmission: Optional[jnp.ndarray] = None
 
     def tree_flatten(self):
         return (
             (self.centers, self.radii, self.emission, self.albedo,
-             self.sky_color, self.light_dir, self.light_color),
+             self.sky_color, self.light_dir, self.light_color,
+             self.transmission),
             None,
         )
 
@@ -102,13 +109,36 @@ class SphereScene:
         )[:, None]
 
         rgb = jnp.where(hit[:, None], emis + direct, self.sky_color[None, :])
+
+        out = {}
+        if self.transmission is not None:
+            # thin-glass straight-through transmission: continue the ray
+            # from the exit point and gather the radiance behind, tinted by
+            # the glass color.  One bounce is enough for the filter's
+            # transmission-AOV contract (the reference gets this from
+            # Arnold's transmission AOV, src/lentil_filter.cpp:152-159).
+            t_exit = t + 2.0 * jnp.abs(
+                jnp.sum((self.centers[idx] - p) * dirs, -1)
+            )
+            exit_org = origins + dirs * (t_exit + 1e-3)[:, None]
+            t2, idx2, hit2 = self.intersect(exit_org, dirs)
+            behind = jnp.where(
+                hit2[:, None], self.emission[idx2], self.sky_color[None, :]
+            )
+            tint = self.transmission[idx]
+            transmitted = jnp.where(
+                hit[:, None], tint * behind, jnp.zeros_like(rgb)
+            )
+            rgb = rgb + transmitted
+            out["transmission"] = transmitted
+
         alpha = jnp.where(hit, 1.0, 0.0)
         rgba = jnp.concatenate([rgb, alpha[:, None]], -1)
         z = jnp.where(hit, t, INF)
         p_out = jnp.where(hit[:, None], p, jnp.zeros_like(p))
         obj_id = jnp.where(hit, idx, -1).astype(jnp.int32)
         return {"rgba": rgba, "z": z, "P": p_out, "hit": hit,
-                "obj_id": obj_id}
+                "obj_id": obj_id, **out}
 
     @property
     def n_objects(self) -> int:
@@ -136,7 +166,6 @@ def lightgrid_scene(
         [cx.ravel(), cy.ravel(), np.full(n * n, z)], -1
     ).astype(np.float32)
     s = n * n
-    colors = np.ones((s, 3), np.float32)
     # vary the colors a bit so chromatic tests are meaningful
     rng = np.random.default_rng(7)
     colors = 0.5 + 0.5 * rng.uniform(size=(s, 3)).astype(np.float32)
