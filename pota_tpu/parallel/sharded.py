@@ -50,7 +50,7 @@ def _shard_stream(stream: dict, n_shards: int, idx):
 def render_frame_sharded(cfg: CameraConfig, rc: RenderConfig, scene,
                          cam_to_world, mesh: Mesh, seed: int = 0,
                          po_lens=None, po_state=None,
-                         use_pallas: bool = True):
+                         use_pallas: bool = True, aovs=None):
     """Full bidirectional render with rays sharded over ``mesh``.
 
     Each shard traces + shades + splats its slice of the sample stream into
@@ -82,32 +82,34 @@ def render_frame_sharded(cfg: CameraConfig, rc: RenderConfig, scene,
         fb = splat_frame(
             cfg, rc, scene_l, stream, cam_to_world_l,
             po_lens=po_lens_l, po_state=po_state_l, use_pallas=use_pallas,
+            aovs=aovs,
         )
         # merge shards: gaussian-class buffers are plain sums; closest-class
         # buffers are winner-take by depth, so resolve the cross-shard winner
         # (global zmin, ties broken by shard index) before summing
         from ..render.aov import CLOSEST, DEFAULT_AOVS
 
-        # winner selection is discrete: stop gradients so the collective
-        # min ops never see tangents (pmin has no differentiation rule)
-        local_zmin = jax.lax.stop_gradient(fb["zmin"])
-        global_zmin = jax.lax.pmin(local_zmin, axis)
-        has_min = local_zmin <= global_zmin
-        my_idx = jax.lax.axis_index(axis)
-        winner_shard = jax.lax.pmin(
-            jnp.where(has_min, my_idx, jnp.int32(2**30)), axis
-        )
-        keep = (has_min & (my_idx == winner_shard)).astype(
-            fb["RGBA"].dtype
-        )[..., None]
-
+        specs = DEFAULT_AOVS if aovs is None else aovs
         merged = {}
+        if "zmin" in fb:
+            # winner selection is discrete: stop gradients so the collective
+            # min ops never see tangents (pmin has no differentiation rule)
+            local_zmin = jax.lax.stop_gradient(fb["zmin"])
+            global_zmin = jax.lax.pmin(local_zmin, axis)
+            has_min = local_zmin <= global_zmin
+            my_idx = jax.lax.axis_index(axis)
+            winner_shard = jax.lax.pmin(
+                jnp.where(has_min, my_idx, jnp.int32(2**30)), axis
+            )
+            keep = (has_min & (my_idx == winner_shard)).astype(
+                fb["RGBA"].dtype
+            )[..., None]
+            merged["zmin"] = global_zmin
+
         for k2, v in fb.items():
             if k2 == "zmin":
-                merged[k2] = global_zmin
-            elif any(
-                s.name == k2 and s.filter == CLOSEST for s in DEFAULT_AOVS
-            ):
+                continue
+            elif any(s.name == k2 and s.filter == CLOSEST for s in specs):
                 merged[k2] = jax.lax.psum(v * keep, axis)
             else:
                 merged[k2] = jax.lax.psum(v, axis)
@@ -125,7 +127,7 @@ def render_frame_sharded(cfg: CameraConfig, rc: RenderConfig, scene,
 
 def train_step_sharded(cfg: CameraConfig, rc: RenderConfig, scene,
                        cam_to_world, mesh: Mesh, target_image,
-                       po_lens, po_state, seed: int = 0):
+                       po_lens, po_state, seed: int = 0, aovs=None):
     """One differentiable optimization step over the lens polynomial coeffs.
 
     The full differentiable pipeline of BASELINE config #5: render the frame
@@ -147,6 +149,7 @@ def train_step_sharded(cfg: CameraConfig, rc: RenderConfig, scene,
             cfg, rc, scene, cam_to_world, mesh, seed=seed,
             po_lens=lens, po_state=po_state,
             use_pallas=False,  # grads w.r.t. coeffs need the pure path
+            aovs=aovs,
         )
         return jnp.mean((img - target_image) ** 2)
 

@@ -77,6 +77,85 @@ def trace_camera_rays(cfg: CameraConfig, samples: dict, po_lens=None,
     return origin, direction, weight
 
 
+def trace_camera_rays_with_derivs(cfg: CameraConfig, rc: RenderConfig,
+                                  samples: dict, po_lens=None,
+                                  bokeh_cdf=None, po_state=None,
+                                  use_pallas: bool = True):
+    """Primary rays + ray differentials (camera_create_ray parity).
+
+    The reference traces 2 extra finite-difference rays per camera ray with
+    step=0.001 in (sx, sy), reusing the primary's r1/r2 and skipping the
+    vignetting retries (``deriv_ray``, ref src/lentil_camera.cpp:96-119).
+    TPU-native upgrade: one ``jax.jvp`` per screen axis over the same
+    deriv-ray path — exact derivatives at the same cost profile (the jvp
+    evaluates primal+tangent together), no step-size noise.
+
+    Tangent magnitude is one pixel's screen-space step (2/xres, 2/yres),
+    matching Arnold's per-pixel ``input.dsx/dsy`` scaling, so the outputs
+    are dO/dpixel and dD/dpixel.
+
+    Returns (origin, direction, weight, derivs dict with dOdx/dOdy/dDdx/dDdy).
+    """
+    origin, direction, weight = trace_camera_rays(
+        cfg, samples, po_lens=po_lens, bokeh_cdf=bokeh_cdf,
+        po_state=po_state, use_pallas=use_pallas,
+    )
+
+    r1, r2 = samples["r1"], samples["r2"]
+
+    def deriv_trace(sxy):
+        sx, sy = sxy
+        if cfg.camera_type == CameraType.THIN_LENS:
+            o, d, _, _ = thinlens.trace_fw_thinlens(
+                cfg, sx, sy, r1, r2, deriv_ray=True, bokeh_cdf=bokeh_cdf,
+            )
+        else:
+            from ..models.po_camera import trace_fw_po
+
+            o, d, _, _ = trace_fw_po(
+                cfg, po_lens, sx, sy, r1, r2, deriv_ray=True,
+                bokeh_cdf=bokeh_cdf, po_state=po_state,
+                use_pallas=False,  # jvp needs the differentiable pure path
+            )
+        return o, d
+
+    sx, sy = samples["sx"], samples["sy"]
+    step_x = 2.0 / rc.xres
+    step_y = 2.0 / rc.yres
+    zeros = jnp.zeros_like(sx)
+    _, (dOdx, dDdx) = jax.jvp(
+        deriv_trace, ((sx, sy),), ((jnp.full_like(sx, step_x), zeros),)
+    )
+    _, (dOdy, dDdy) = jax.jvp(
+        deriv_trace, ((sx, sy),), ((zeros, jnp.full_like(sy, step_y)),)
+    )
+    return origin, direction, weight, {
+        "dOdx": dOdx, "dOdy": dOdy, "dDdx": dDdx, "dDdy": dDdy,
+    }
+
+
+def camera_reverse_ray(cfg: CameraConfig, p_cam, po_lens=None):
+    """Camera-space point -> screen coords, pinhole-FOV approximation.
+
+    Port of the reference's active camera_reverse_ray
+    (src/lentil_camera.cpp:164-172): ``Ps = Po.xy / max(|Po.z * tan_fov|,
+    1e-3)``.  PO cameras use the fitted lens's field of view
+    (ref src/lentil.h:1658), thin lens the closed-form sensor FOV
+    (ref src/lentil.h:1666).
+    """
+    import math
+
+    if cfg.camera_type == CameraType.POLYNOMIAL_OPTICS:
+        assert po_lens is not None
+        tan_fov = math.tan(po_lens.fov / 2.0)
+    else:
+        tan_fov = cfg.thinlens_tan_fov
+    coeff = 1.0 / jnp.maximum(jnp.abs(p_cam[..., 2] * tan_fov), 1e-3)
+    return jnp.stack(
+        [p_cam[..., 0] * coeff, p_cam[..., 1] * coeff], -1
+    )
+
+
 def render_sample_stream(cfg: CameraConfig, rc: RenderConfig, scene,
                          cam_to_world, seed: int = 0, po_lens=None,
                          bokeh_cdf=None, po_state=None,
@@ -119,18 +198,54 @@ def render_sample_stream(cfg: CameraConfig, rc: RenderConfig, scene,
 
 
 def resolve_gaussian(rc: RenderConfig, stream: dict) -> jnp.ndarray:
-    """Per-pixel gaussian filter over each pixel's own samples.
+    """Cross-pixel gaussian filter over the filter footprint.
 
     Matches the reference's passthrough filter (filter_gaussian_complete,
     src/lentil.h:736-775): weight = exp(-2 r), r = (2/width)^2 (ox^2+oy^2),
-    rejected when r > 1, normalized by the accumulated weight.
+    rejected when r > 1, normalized by the accumulated weight.  With the
+    default width 1.5 a sample contributes to every pixel whose center is
+    within 0.75 px (Arnold hands the filter all samples in its footprint) —
+    a 3x3 neighborhood gather, expressed here as 9 shifted accumulations
+    (pure fused elementwise + pad/slice work; no scatter).
+
+    Note on the *redistribution* fallback path: the reference's
+    filter_and_add_to_buffer_new uses a box weight of 1.0 into the sample's
+    own pixel (the gaussian is commented out, src/lentil.h:938-944), which
+    is what render/splat.py does — the footprint gather below applies only
+    to this passthrough resolve.
     """
-    r = (2.0 / rc.filter_width) ** 2 * (stream["ox"] ** 2 + stream["oy"] ** 2)
-    w = jnp.where(r > 1.0, 0.0, jnp.exp(-2.0 * r))
-    rgba_w = stream["rgba"] * w[:, None]
     h, wres, spp = rc.yres_region, rc.xres_region, rc.spp
-    num = rgba_w.reshape(h, wres, spp, 4).sum(axis=2)
-    den = w.reshape(h, wres, spp).sum(axis=2)
+    ox = stream["ox"].reshape(h, wres, spp)
+    oy = stream["oy"].reshape(h, wres, spp)
+    rgba = stream["rgba"].reshape(h, wres, spp, 4)
+    inv_w2 = (2.0 / rc.filter_width) ** 2
+    reach = int(rc.filter_width / 2.0 + 0.5)  # 0 for width<=1, 1 for 1.5
+
+    num = jnp.zeros((h, wres, 4), rgba.dtype)
+    den = jnp.zeros((h, wres), rgba.dtype)
+    for dy in range(-reach, reach + 1):
+        for dx in range(-reach, reach + 1):
+            # sample (ox,oy) in pixel p lands at offset (ox-dx, oy-dy) from
+            # the center of pixel p+(dx,dy)
+            r = inv_w2 * ((ox - dx) ** 2 + (oy - dy) ** 2)
+            w = jnp.where(r > 1.0, 0.0, jnp.exp(-2.0 * r))
+            n = (rgba * w[..., None]).sum(axis=2)
+            d = w.sum(axis=2)
+            if dx or dy:
+                # shift contribution from source pixel p to pixel p+(dx,dy)
+                n = jnp.roll(n, (dy, dx), axis=(0, 1))
+                d = jnp.roll(d, (dy, dx), axis=(0, 1))
+                # zero the wrapped-around rows/cols (frame edge)
+                if dy:
+                    row = slice(0, 1) if dy > 0 else slice(h - 1, h)
+                    n = n.at[row].set(0.0)
+                    d = d.at[row].set(0.0)
+                if dx:
+                    col = slice(0, 1) if dx > 0 else slice(wres - 1, wres)
+                    n = n.at[:, col].set(0.0)
+                    d = d.at[:, col].set(0.0)
+            num = num + n
+            den = den + d
     return num / jnp.maximum(den, 1e-12)[..., None]
 
 

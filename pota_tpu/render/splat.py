@@ -153,7 +153,13 @@ def splat_queue(budget, redistribute, rays_per_count: int, queue_size: int):
     scale = jnp.minimum(
         1.0, (queue_size * (1.0 - 1e-6)) / jnp.maximum(total, 1.0)
     )
-    slots = jnp.floor(slots.astype(jnp.float32) * scale).astype(jnp.int32)
+    scaled = jnp.floor(slots.astype(jnp.float32) * scale).astype(jnp.int32)
+    # A redistributed sample never loses its whole budget to the global
+    # rescale: clamp to >= 1 budget unit (the reference's overshoot cap
+    # shrinks budgets but never un-redistributes a sample,
+    # src/lentil_filter.cpp:197-202).  Sources pushed past the queue end by
+    # the clamp simply get fewer live slots (slot_on cuts the tail).
+    slots = jnp.where(slots > 0, jnp.maximum(scaled, rays_per_count), 0)
     offsets = jnp.cumsum(slots)                      # [N], ends; sum <= S
     starts = offsets - slots
     q = jnp.arange(queue_size, dtype=jnp.int32)
@@ -517,19 +523,25 @@ def splat_frame(cfg: CameraConfig, rc: RenderConfig, scene, stream,
 
     # deterministic closest-filter winner per pixel: smallest depth, ties
     # broken by writer id (replaces the reference's tolerated write races,
-    # ref src/lentil.h:832-845)
-    big = jnp.asarray(3e38, dtype)
-    zmin_buf = jnp.full((npix,), big, dtype)
-    zmin_buf = zmin_buf.at[writer_pix].min(
-        jnp.where(writer_valid, writer_depth, big)
-    )
-    is_min = writer_valid & (writer_depth <= zmin_buf[writer_pix])
-    wid = jnp.arange(s_q + n, dtype=jnp.int32)
-    winner_buf = jnp.full((npix,), jnp.iinfo(jnp.int32).max, jnp.int32)
-    winner_buf = winner_buf.at[writer_pix].min(
-        jnp.where(is_min, wid, jnp.iinfo(jnp.int32).max)
-    )
-    is_winner = is_min & (wid == winner_buf[writer_pix])
+    # ref src/lentil.h:832-845).  Skipped entirely when the AOV list has no
+    # closest-class planes (e.g. an RGBA-only training loss) — the winner
+    # selection is the most expensive part of the splat's transpose graph.
+    has_closest = any(spec.filter == CLOSEST for spec in aovs)
+    zmin_buf = None
+    is_winner = None
+    if has_closest:
+        big = jnp.asarray(3e38, dtype)
+        zmin_buf = jnp.full((npix,), big, dtype)
+        zmin_buf = zmin_buf.at[writer_pix].min(
+            jnp.where(writer_valid, writer_depth, big)
+        )
+        is_min = writer_valid & (writer_depth <= zmin_buf[writer_pix])
+        wid = jnp.arange(s_q + n, dtype=jnp.int32)
+        winner_buf = jnp.full((npix,), jnp.iinfo(jnp.int32).max, jnp.int32)
+        winner_buf = winner_buf.at[writer_pix].min(
+            jnp.where(is_min, wid, jnp.iinfo(jnp.int32).max)
+        )
+        is_winner = is_min & (wid == winner_buf[writer_pix])
 
     buffers: dict = {}
     weight_buf = jnp.zeros((npix,), dtype)
@@ -592,7 +604,8 @@ def splat_frame(cfg: CameraConfig, rc: RenderConfig, scene, stream,
         buffers["crypto_total"] = total.reshape(yres_r, xres_r)
 
     buffers["filter_weight"] = weight_buf.reshape(yres_r, xres_r)
-    buffers["zmin"] = zmin_buf.reshape(yres_r, xres_r)
+    if has_closest:
+        buffers["zmin"] = zmin_buf.reshape(yres_r, xres_r)
     return buffers
 
 

@@ -126,6 +126,27 @@ def test_queue_overflow_rescales_proportionally():
     assert abs(slots[0] / max(slots[1], 1) - 2.0) < 0.1  # keeps the ratio
 
 
+def test_queue_overflow_never_zeroes_a_dim_sample():
+    """The global rescale must not silently un-redistribute dim samples:
+    every redistributed source keeps >= 1 budget unit (the reference's
+    overshoot cap shrinks budgets but never zeroes one,
+    ref src/lentil_filter.cpp:197-202)."""
+    budget = jnp.asarray([2000, 4, 4], jnp.int32)
+    redis = jnp.asarray([True, True, True])
+    # scale = 500/2008 ~ 0.249 -> floor(4 * 0.249) = 0 without the clamp
+    src, lane, slot_on, slots = splat_queue(budget, redis, 1, 500)
+    slots = np.asarray(slots)
+    assert (slots[1:] >= 1).all(), slots
+    # chromatic: the minimum grant is one full 3-lambda triple
+    _, _, _, slots3 = splat_queue(budget, redis, 3, 1500)
+    slots3 = np.asarray(slots3)
+    assert (slots3[1:] >= 3).all(), slots3
+    # gated-out samples still get nothing
+    redis_off = jnp.asarray([True, False, True])
+    _, _, _, slots_off = splat_queue(budget, redis_off, 1, 500)
+    assert int(np.asarray(slots_off)[1]) == 0
+
+
 def test_transmission_scene_end_to_end():
     """A highlight behind thin glass only redistributes when
     enable_bidir_transmission is on (ref src/lentil_filter.cpp:152-159)."""

@@ -130,6 +130,90 @@ def test_forward_kernel_matches_pure(synthetic_lens):
     )
 
 
+@pytest.fixture(scope="module")
+def catalog_lens():
+    """A real committed 160-term catalog fit — catches coefficient-baking
+    bugs the synthetic 12-term lens cannot (term ordering, conditioning
+    constants, degree unrolling)."""
+    from pota_tpu.optics.fit import load_poly_lens
+
+    poly = load_poly_lens("angenieux__double_gauss__1953__49mm", degree=5)
+    if poly is None:
+        pytest.skip("flagship fit missing")
+    return poly
+
+
+def test_forward_kernel_matches_pure_catalog_lens(catalog_lens):
+    lens = catalog_lens
+    rng = np.random.default_rng(3)
+    n = 64
+    x = rng.uniform(-12, 12, n).astype(np.float32)
+    y = rng.uniform(-12, 12, n).astype(np.float32)
+    r_ap = lens.aperture_housing_radius * 0.6
+    ax = rng.uniform(-r_ap, r_ap, n).astype(np.float32)
+    ay = rng.uniform(-r_ap, r_ap, n).astype(np.float32)
+    lam = rng.uniform(0.42, 0.68, n).astype(np.float32)
+    sensor_shift = 2.0
+
+    sensor5 = jnp.stack([x, y, np.zeros_like(x), np.zeros_like(x), lam], -1)
+    solved = pt_sample_aperture(
+        lens, sensor5, jnp.stack([ax, ay], -1), iterations=3
+    )
+    shifted = solved.at[..., 0].add(solved[..., 2] * sensor_shift)
+    shifted = shifted.at[..., 1].add(shifted[..., 3] * sensor_shift)
+    out4_ref, trans_ref = pt_evaluate(lens, shifted)
+
+    kern = build_po_forward_kernel(
+        lens, sensor_shift, newton_iterations=3, interpret=True
+    )
+    out4, trans, dx, dy = kern(
+        jnp.asarray(x), jnp.asarray(y), jnp.asarray(ax), jnp.asarray(ay),
+        jnp.asarray(lam),
+    )
+    np.testing.assert_allclose(
+        np.asarray(out4), np.asarray(out4_ref), rtol=2e-4, atol=5e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(trans), np.asarray(trans_ref), rtol=2e-4, atol=5e-4
+    )
+
+
+def test_backward_kernel_matches_pure_catalog_lens(catalog_lens):
+    lens = catalog_lens
+    rng = np.random.default_rng(5)
+    n = 64
+    scene = np.stack(
+        [
+            rng.uniform(-80, 80, n),
+            rng.uniform(-80, 80, n),
+            rng.uniform(500, 3000, n),
+        ],
+        -1,
+    ).astype(np.float32)
+    r_ap = lens.aperture_housing_radius * 0.5
+    ap = (rng.uniform(-1, 1, (n, 2)) * r_ap).astype(np.float32)
+    lam = rng.uniform(0.45, 0.65, n).astype(np.float32)
+
+    s5_ref, _, trans_ref = lt_sample_aperture(
+        lens, jnp.asarray(scene), jnp.asarray(ap), jnp.asarray(lam),
+        iterations=5,
+    )
+    kern = build_po_backward_kernel(lens, iterations=5, interpret=True)
+    sx, sy, sdx, sdy, trans = kern(
+        jnp.asarray(scene[:, 0]), jnp.asarray(scene[:, 1]),
+        jnp.asarray(scene[:, 2]), jnp.asarray(ap[:, 0]),
+        jnp.asarray(ap[:, 1]), jnp.asarray(lam),
+    )
+    ref = np.asarray(s5_ref)
+    np.testing.assert_allclose(np.asarray(sx), ref[:, 0], rtol=2e-4, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(sy), ref[:, 1], rtol=2e-4, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(sdx), ref[:, 2], rtol=2e-4, atol=5e-5)
+    np.testing.assert_allclose(np.asarray(sdy), ref[:, 3], rtol=2e-4, atol=5e-5)
+    np.testing.assert_allclose(
+        np.asarray(trans), np.asarray(trans_ref), rtol=2e-4, atol=5e-4
+    )
+
+
 def test_backward_kernel_matches_pure(synthetic_lens):
     lens = synthetic_lens
     rng = np.random.default_rng(11)

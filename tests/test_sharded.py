@@ -23,6 +23,7 @@ def grid_scene():
                               intensity=40.0)
 
 
+@pytest.mark.slow
 def test_sharded_matches_single_device(grid_scene):
     """Sharded render must statistically match the single-device render.
 
@@ -48,7 +49,25 @@ def test_sharded_matches_single_device(grid_scene):
     assert frac < 0.03, frac
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_entrypoint():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_sharded_bitexact_16x16(grid_scene):
+    """With the bokeh discs fully on-frame, the sharded and single-device
+    renders must agree bit-for-bit: the splat is a deterministic scatter-add
+    and psum of per-shard partial buffers is associative over the same
+    per-sample stream (the deterministic upgrade of the reference's racy
+    shared buffer, src/lentil.h:100-103)."""
+    rc = RenderConfig(xres=16, yres=16, spp=2)
+    scene = sc.lightgrid_scene(n=2, spacing=14.0, z=-400.0, radius=3.0,
+                               intensity=40.0)
+    mesh = make_mesh(8)
+    img_sh, _ = render_frame_sharded(CFG, rc, scene, M, mesh, seed=0)
+    img, _ = render_frame(CFG, rc, scene, M, seed=0)
+    a, b = np.asarray(img_sh), np.asarray(img)
+    assert np.isfinite(a).all()
+    np.testing.assert_array_equal(a, b)
