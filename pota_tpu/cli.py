@@ -46,11 +46,30 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--exposure", type=float, default=1.0)
     p.add_argument("--out", default="/tmp/pota_render.exr")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
+    p.add_argument("--aovs", action="store_true",
+                   help="write all AOV planes (Z, P, raydir, time, debug) "
+                        "into the EXR alongside the beauty")
+    p.add_argument("--id-matte", action="store_true",
+                   help="redistribute ranked id-matte layers (cryptomatte "
+                        "capability) and write them as crypto00..02")
+    p.add_argument("--region", type=int, nargs=4, default=None,
+                   metavar=("MINX", "MINY", "MAXX", "MAXY"),
+                   help="render region (inclusive pixel bounds)")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a jax.profiler trace of the render")
+    p.add_argument("--list-lenses", action="store_true",
+                   help="list the fitted lens catalog and exit")
     return p
 
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.list_lenses:
+        from pota_tpu.lens.database import lens_names
+
+        for n in lens_names():
+            print(n)
+        return 0
     if args.cpu:
         import os
 
@@ -88,9 +107,17 @@ def main(argv=None) -> int:
         max_bidir_samples=args.max_bidir_samples,
         vignetting_retries=4,
     )
+    region = {}
+    if args.region:
+        region = dict(
+            region_min_x=args.region[0], region_min_y=args.region[1],
+            region_max_x=args.region[2], region_max_y=args.region[3],
+        )
     rc = RenderConfig(
         xres=args.res, yres=args.res, spp=args.spp,
         enable_redistribution=not args.no_bidir,
+        enable_id_matte=args.id_matte,
+        **region,
     )
     scene = sc.teapot_scene() if args.scene == "teapot" else sc.lightgrid_scene(
         n=5, spacing=20.0, z=-400.0, radius=1.5, intensity=40.0
@@ -112,27 +139,54 @@ def main(argv=None) -> int:
 
         bokeh_cdf = load_bokeh_image(cfg.bokeh_image_path)
 
+    import contextlib
+
+    prof = contextlib.nullcontext()
+    if args.profile:
+        from pota_tpu.utils.profiling import trace
+
+        prof = trace(args.profile)
+
     t0 = time.time()
-    img, _fb = render_frame(
-        cfg, rc, scene, look_at([0, 0, 0], [0, 0, -1]), seed=args.seed,
-        po_lens=po_lens, po_state=po_state, bokeh_cdf=bokeh_cdf,
-    )
-    img = np.asarray(img)
+    with prof:
+        img, fb = render_frame(
+            cfg, rc, scene, look_at([0, 0, 0], [0, 0, -1]), seed=args.seed,
+            po_lens=po_lens, po_state=po_state, bokeh_cdf=bokeh_cdf,
+        )
+        img = np.asarray(img)
     dt = time.time() - t0
-    rays = args.res * args.res * args.spp
+    rays = rc.xres_region * rc.yres_region * args.spp
     print(
-        f"[pota] rendered {args.res}x{args.res}@{args.spp}spp in {dt:.2f}s "
-        f"({rays / dt:.0f} rays/s)",
+        f"[pota] rendered {rc.xres_region}x{rc.yres_region}@{args.spp}spp "
+        f"in {dt:.2f}s ({rays / dt:.0f} rays/s)",
         file=sys.stderr,
     )
 
     if args.out.endswith(".ppm"):
         write_ppm(args.out, img[..., :3])
     else:
-        write_exr(args.out, {
+        channels = {
             "R": img[..., 0], "G": img[..., 1],
             "B": img[..., 2], "A": img[..., 3],
-        })
+        }
+        if args.aovs and fb:
+            from pota_tpu.render.splat import resolve_aovs
+
+            resolved = resolve_aovs(rc, fb)
+            for name, plane in resolved.items():
+                if name == "RGBA":
+                    continue
+                plane = np.asarray(plane)
+                for i, suffix in enumerate("RGBA"[: plane.shape[-1]]):
+                    channels[f"{name}.{suffix}"] = plane[..., i]
+        if args.id_matte and fb and "crypto" in fb:
+            from pota_tpu.render.splat import resolve_crypto
+
+            for r, layer in enumerate(resolve_crypto(fb, ranks=3)):
+                layer = np.asarray(layer)
+                for i, suffix in enumerate("RGBA"):
+                    channels[f"crypto{r:02d}.{suffix}"] = layer[..., i]
+        write_exr(args.out, channels)
     print(f"[pota] wrote {args.out}", file=sys.stderr)
     return 0
 

@@ -200,8 +200,8 @@ def trace_fw_po(
     out_sel = take(out4)
 
     R = lens.outer_pupil_curvature_radius
-    origin, direction = geo.sphere_to_cs(
-        out_sel[..., :2], out_sel[..., 2:4], -R, R
+    origin, direction = geo.chart_to_cs(
+        out_sel[..., :2], out_sel[..., 2:4], -R, R, lens.outer_chart
     )
 
     scale = cfg.unit_scale_po  # negative: reverses rays + converts mm->units

@@ -351,24 +351,46 @@ def build_po_backward_kernel(lens: PolyLens, iterations: int = 5,
                         acc[o] = m * c if acc[o] is None else acc[o] + m * c
             return [a if a is not None else jnp.zeros_like(px) for a in acc]
 
+        chart = lens.outer_chart  # static per-lens dispatch, baked in
+
         def exit_ray(o0, o1, o2, o3):
-            """Outer-pupil sphere chart -> camera-space ray components
-            (component-wise sphere_to_cs, center=-R; see optics/geometry.py)."""
-            r2 = o0 * o0 + o1 * o1
-            nz = _safe_sqrt(R * R - r2) / abs(R)
-            n0 = o0 / R
-            n1 = o1 / R
+            """Outer-pupil chart -> camera-space ray components
+            (component-wise chart_to_cs, center=-R; see optics/geometry.py).
+            The chart (sphere / cyl-x / cyl-y) is the lens's static pupil
+            geometry — the reference's per-lens dispatch at
+            src/lentil.h:387-389."""
             tz = _safe_sqrt(1.0 - (o2 * o2 + o3 * o3))
-            # tangent frame: ex = normalize((nz, 0, -n0)); ey = n x ex
-            inv_exn = 1.0 / _sqrt_floor(nz * nz + n0 * n0, 1e-24)
-            e0 = nz * inv_exn
-            e2 = -n0 * inv_exn
-            f0 = n1 * e2
-            f1 = nz * e0 - n0 * e2
-            f2 = -n1 * e0
-            d0 = o2 * e0 + o3 * f0 + tz * n0
-            d1 = o3 * f1 + tz * n1
-            d2 = o2 * e2 + o3 * f2 + tz * nz
+            if chart == "sphere":
+                r2 = o0 * o0 + o1 * o1
+                nz = _safe_sqrt(R * R - r2) / abs(R)
+                n0 = o0 / R
+                n1 = o1 / R
+                # tangent frame: ex = normalize((nz, 0, -n0)); ey = n x ex
+                inv_exn = 1.0 / _sqrt_floor(nz * nz + n0 * n0, 1e-24)
+                e0 = nz * inv_exn
+                e2 = -n0 * inv_exn
+                f0 = n1 * e2
+                f1 = nz * e0 - n0 * e2
+                f2 = -n1 * e0
+                d0 = o2 * e0 + o3 * f0 + tz * n0
+                d1 = o3 * f1 + tz * n1
+                d2 = o2 * e2 + o3 * f2 + tz * nz
+            elif chart == "cyl-y":  # cylinder axis along y
+                nz = _safe_sqrt(R * R - o0 * o0) / abs(R)
+                n0 = o0 / R
+                # unit normal (n0, 0, nz): ex = (nz, 0, -n0), ey = (0, 1, 0)
+                d0 = o2 * nz + tz * n0
+                d1 = o3
+                d2 = -o2 * n0 + tz * nz
+            elif chart == "cyl-x":  # cylinder axis along x
+                nz = _safe_sqrt(R * R - o1 * o1) / abs(R)
+                n1 = o1 / R
+                # unit normal (0, n1, nz): ex = (1, 0, 0), ey = (0, nz, -n1)
+                d0 = o2
+                d1 = o3 * nz + tz * n1
+                d2 = -o3 * n1 + tz * nz
+            else:
+                raise ValueError(f"unknown pupil chart {chart!r}")
             pos_z = nz * R - R
             return o0, o1, pos_z, d0, d1, d2
 

@@ -179,6 +179,8 @@ def fit_lens(lens: LensSystem, degree: int = 5, n_samples: int = 200_000,
         fstop=lens.efl / (2.0 * lens.aperture_housing_radius),
         aperture_radius_at_fstop=lens.aperture_housing_radius,
         name=lens.name,
+        outer_chart=lens.outer_chart,
+        inner_chart=lens.inner_chart,
     )
     diag = {
         "rms_out_x": float(rms[0]), "rms_out_y": float(rms[1]),
@@ -222,6 +224,7 @@ def save_poly_lens(poly: PolyLens, degree: int, path: str | None = None):
             ]
         ),
         name=np.asarray(poly.name),
+        charts=np.asarray([poly.outer_chart, poly.inner_chart]),
     )
     return path
 
@@ -250,6 +253,9 @@ def load_poly_lens(name: str, degree: int = 5, path: str | None = None):
         outer_pupil_curvature_radius=float(c[8]), fov=float(c[9]),
         fstop=float(c[10]), aperture_radius_at_fstop=float(c[11]),
         name=str(z["name"]),
+        # charts absent in fits saved before the cylinder dispatch: sphere
+        outer_chart=(str(z["charts"][0]) if "charts" in z else "sphere"),
+        inner_chart=(str(z["charts"][1]) if "charts" in z else "sphere"),
     )
 
 

@@ -11,7 +11,10 @@ All run once per render setup; selection logic happens on host numpy.
 """
 from __future__ import annotations
 
+from functools import partial
+
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from . import geometry as geo
@@ -33,6 +36,7 @@ def logarithmic_shift_candidates(step: float = 1e-4) -> np.ndarray:
     return np.sign(i) * i**2 * 45.0
 
 
+@partial(jax.jit, static_argnames=("lam",))
 def _axial_probe_distance(lens: PolyLens, shifts, lam: float):
     """Scene-side y=0 crossing distance of an axial probe ray per shift.
 
@@ -51,7 +55,8 @@ def _axial_probe_distance(lens: PolyLens, shifts, lam: float):
     )
     out4, trans = pt_evaluate(lens, shifted)
     R = lens.outer_pupil_curvature_radius
-    pos, direction = geo.sphere_to_cs(out4[:, :2], out4[:, 2:4], -R, R)
+    pos, direction = geo.chart_to_cs(out4[:, :2], out4[:, 2:4], -R, R,
+                                     lens.outer_chart)
     hit = geo.line_plane_intersection_y0(pos, direction)
     ok = (
         (trans > 0.0)
@@ -100,20 +105,24 @@ def calibrate_fstop(lens: PolyLens, fstop_target: float, lam: float = 0.55,
     exceeds the target.
     """
     heights = np.arange(1, n_rays) / n_rays * lens.outer_pupil_radius
-    h = jnp.asarray(heights, jnp.float32)
-    target = jnp.stack(
-        [jnp.zeros_like(h), h, jnp.full_like(h, _BIG)], -1
-    )
-    ap = jnp.stack([jnp.full_like(h, 0.01), h], -1)
-    sensor5, out4, trans = lt_sample_aperture(lens, target, ap, lam)
-    ok = (trans > 0.0) & inner_pupil_ok(lens, sensor5)
 
-    Ri = lens.inner_pupil_curvature_radius
-    pos, direction = geo.sphere_to_cs(
-        out4[:, :2], out4[:, 2:4], -Ri + lens.back_focal_length, Ri
-    )
-    theta = jnp.arctan(pos[:, 1] / pos[:, 2])
-    fstop = 1.0 / (jnp.sin(theta) * 2.0)
+    @jax.jit
+    def scan(lens_l, h):
+        target = jnp.stack(
+            [jnp.zeros_like(h), h, jnp.full_like(h, _BIG)], -1
+        )
+        ap = jnp.stack([jnp.full_like(h, 0.01), h], -1)
+        sensor5, out4, trans = lt_sample_aperture(lens_l, target, ap, lam)
+        ok = (trans > 0.0) & inner_pupil_ok(lens_l, sensor5)
+        Ri = lens_l.inner_pupil_curvature_radius
+        pos, direction = geo.chart_to_cs(
+            out4[:, :2], out4[:, 2:4], -Ri + lens_l.back_focal_length, Ri,
+            lens_l.inner_chart,
+        )
+        theta = jnp.arctan(pos[:, 1] / pos[:, 2])
+        return 1.0 / (jnp.sin(theta) * 2.0), ok
+
+    fstop, ok = scan(lens, jnp.asarray(heights, jnp.float32))
 
     fstop = np.asarray(fstop, np.float64)
     ok = np.asarray(ok)

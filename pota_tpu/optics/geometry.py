@@ -144,6 +144,34 @@ def cs_to_cylinder(pos3, dir3, center, radius, cyl_y):
     )
 
 
+def chart_to_cs(pos2, dir2, center, radius, chart: str = "sphere"):
+    """Pupil chart -> 3D ray, dispatched by the lens's pupil geometry.
+
+    The reference dispatches per lens on the generated
+    ``lens_inner/outer_pupil_geometry`` string ("sphere" / "cyl-x" /
+    "cyl-y", src/lentil.h:387-389, 1418-1424); anamorphic prescriptions use
+    the cylinder charts.
+    """
+    if chart == "sphere":
+        return sphere_to_cs(pos2, dir2, center, radius)
+    if chart == "cyl-x":
+        return cylinder_to_cs(pos2, dir2, center, radius, cyl_y=False)
+    if chart == "cyl-y":
+        return cylinder_to_cs(pos2, dir2, center, radius, cyl_y=True)
+    raise ValueError(f"unknown pupil chart {chart!r}")
+
+
+def cs_to_chart(pos3, dir3, center, radius, chart: str = "sphere"):
+    """3D ray -> pupil chart (inverse of :func:`chart_to_cs`)."""
+    if chart == "sphere":
+        return cs_to_sphere(pos3, dir3, center, radius)
+    if chart == "cyl-x":
+        return cs_to_cylinder(pos3, dir3, center, radius, cyl_y=False)
+    if chart == "cyl-y":
+        return cs_to_cylinder(pos3, dir3, center, radius, cyl_y=True)
+    raise ValueError(f"unknown pupil chart {chart!r}")
+
+
 def line_plane_intersection_y0(origin, direction):
     """Intersection of a ray with the plane y=0 (ref src/lens.h:412-419).
 

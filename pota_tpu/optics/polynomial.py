@@ -140,6 +140,10 @@ class PolyLens:
     fstop: float                    # wide-open f-number
     aperture_radius_at_fstop: float  # wide-open iris radius (mm)
     name: str = "unnamed"
+    # pupil chart geometry ("sphere" / "cyl-x" / "cyl-y") — the reference's
+    # per-lens lens_inner/outer_pupil_geometry dispatch (src/lentil.h:387-389)
+    outer_chart: str = "sphere"
+    inner_chart: str = "sphere"
 
     def tree_flatten(self):
         meta = (
@@ -149,6 +153,7 @@ class PolyLens:
             self.inner_pupil_curvature_radius,
             self.outer_pupil_curvature_radius, self.fov, self.fstop,
             self.aperture_radius_at_fstop, self.name,
+            self.outer_chart, self.inner_chart,
         )
         return (self.pt, self.ap), meta
 
@@ -321,7 +326,8 @@ def pt_sample_aperture(lens: PolyLens, sensor5, ap_target, iterations: int = 3):
 
 def _chart_to_cs(lens: PolyLens, out4):
     R = lens.outer_pupil_curvature_radius
-    return geo.sphere_to_cs(out4[..., :2], out4[..., 2:4], -R, R)
+    return geo.chart_to_cs(out4[..., :2], out4[..., 2:4], -R, R,
+                           lens.outer_chart)
 
 
 def lt_sample_aperture(lens: PolyLens, scene_point, ap_point, lam,

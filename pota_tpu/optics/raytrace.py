@@ -75,6 +75,11 @@ class LensSystem:
     fov: float                  # full field of view (radians), from efl+36mm
     aperture_index: int = -1    # static index of the iris row (rear->front)
     name: str = "unnamed"
+    # pupil chart geometry per lens ("sphere" / "cyl-x" / "cyl-y"), the
+    # dispatch the reference does on lens_inner/outer_pupil_geometry
+    # (src/lentil.h:387-389, 1418-1424); anamorphic designs are cylindrical
+    outer_chart: str = "sphere"
+    inner_chart: str = "sphere"
 
     _ARRAY_FIELDS = (
         "vertex_z", "radius", "housing", "cauchy_a_in", "cauchy_b_in",
@@ -128,7 +133,9 @@ def _paraxial_bfl_efl(rows: np.ndarray) -> tuple[float, float]:
 
 
 def build_lens_system(rows, name: str = "unnamed",
-                      sensor_width: float = 36.0) -> LensSystem:
+                      sensor_width: float = 36.0,
+                      outer_chart: str = "sphere",
+                      inner_chart: str = "sphere") -> LensSystem:
     """Preprocess a scene->sensor prescription into a LensSystem.
 
     ``rows``: sequence of [radius, thickness, ior, abbe, housing_radius]
@@ -196,6 +203,8 @@ def build_lens_system(rows, name: str = "unnamed",
         fov=float(fov),
         aperture_index=ap_idx_rev,
         name=name,
+        outer_chart=outer_chart,
+        inner_chart=inner_chart,
     )
 
 
@@ -341,9 +350,10 @@ def trace_to_chart(lens: LensSystem, sensor_lf, aperture_radius=None):
     """Trace and return the exit ray in the outer-pupil sphere chart.
 
     The chart matches the reference's pt_evaluate output contract
-    (src/lentil.h:1252-1266 + sphereToCs at :387-389): [x, y, dx, dy] on the
-    sphere of radius ``outer_pupil_curvature_radius`` with vertex at the
-    front surface, plus transmittance.
+    (src/lentil.h:1252-1266 + sphereToCs/cylinderToCs at :387-389):
+    [x, y, dx, dy] on the sphere (or cylinder, for anamorphic pupils) of
+    radius ``outer_pupil_curvature_radius`` with vertex at the front
+    surface, plus transmittance.  The chart is ``lens.outer_chart``.
     """
     from . import geometry as geo
 
@@ -355,6 +365,27 @@ def trace_to_chart(lens: LensSystem, sensor_lf, aperture_radius=None):
          jnp.broadcast_to(front_z, res["out_pos"][..., 0].shape)], -1
     )
     R = lens.outer_pupil_curvature_radius
-    pos2, dir2 = geo.cs_to_sphere(pos, res["out_dir"], -R, R)
+    d = res["out_dir"]
+    if lens.outer_chart != "sphere":
+        # the exit position sits on the (possibly spherical) front element;
+        # a cylinder chart parametrizes points ON the cylinder of radius R
+        # (axis at z=-R), so advance the exit ray onto that surface first
+        # (the chart stores a ray line, so sliding along the ray is exact)
+        u = pos[..., 0] if lens.outer_chart == "cyl-y" else pos[..., 1]
+        du = d[..., 0] if lens.outer_chart == "cyl-y" else d[..., 1]
+        w = pos[..., 2] + R
+        dw = d[..., 2]
+        a = du * du + dw * dw
+        b = u * du + w * dw
+        c = u * u + w * w - R * R
+        disc = jnp.maximum(b * b - a * c, 0.0)
+        sq = jnp.sqrt(disc)
+        a_safe = jnp.where(jnp.abs(a) < 1e-12, 1e-12, a)
+        t0 = (-b - sq) / a_safe
+        t1 = (-b + sq) / a_safe
+        # nearest intersection along the ray (smallest |t|)
+        t = jnp.where(jnp.abs(t0) <= jnp.abs(t1), t0, t1)
+        pos = pos + t[..., None] * d
+    pos2, dir2 = geo.cs_to_chart(pos, d, -R, R, lens.outer_chart)
     out = jnp.concatenate([pos2, dir2], -1)
     return out, res["transmittance"], res["aperture_xy"], res["valid"]

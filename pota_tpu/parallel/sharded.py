@@ -53,12 +53,26 @@ def render_frame_sharded(cfg: CameraConfig, rc: RenderConfig, scene,
                          use_pallas: bool = True, aovs=None):
     """Full bidirectional render with rays sharded over ``mesh``.
 
-    Each shard traces + shades + splats its slice of the sample stream into
-    a full-frame partial buffer; one psum merges the shards.  Returns the
-    resolved image (replicated).
+    Each shard traces + shades + splats its slice of the sample stream (a
+    contiguous band of frame rows) into a full-frame partial buffer.  The
+    merge is **tile-sharded**: ``psum_scatter`` over the row dimension hands
+    each shard the summed tile it owns — total merge traffic is O(frame)
+    per AOV (a reduce-scatter over ICI) instead of the O(frame x n_shards)
+    a full-frame ``psum`` replication costs.  Because a shard's sample rows
+    coincide with its result tile, everything except backward-splat energy
+    that crosses tile boundaries is an on-shard contribution — the splat
+    halo is the only genuinely communicating traffic (the TPU analog of
+    the reference's threads writing outside their own bucket into the
+    shared buffer, src/lentil.h:100-103).
+
+    The resolve runs tile-local; outputs come back with the row dimension
+    sharded over the mesh (``P(axis)``), which XLA assembles into the full
+    frame.  Falls back to the replicated-psum merge when the region height
+    doesn't divide by the mesh size.
     """
     n_shards = mesh.devices.size
     axis = mesh.axis_names[0]
+    tiled = rc.yres_region % n_shards == 0
 
     def shard_fn(cam_to_world_l, scene_l, po_lens_l):
         po_state_l = po_state  # static per-render state, closed over
@@ -90,6 +104,14 @@ def render_frame_sharded(cfg: CameraConfig, rc: RenderConfig, scene,
         from ..render.aov import CLOSEST, DEFAULT_AOVS
 
         specs = DEFAULT_AOVS if aovs is None else aovs
+
+        def merge(v):
+            if tiled:
+                return jax.lax.psum_scatter(
+                    v, axis, scatter_dimension=0, tiled=True
+                )
+            return jax.lax.psum(v, axis)
+
         merged = {}
         if "zmin" in fb:
             # winner selection is discrete: stop gradients so the collective
@@ -104,22 +126,29 @@ def render_frame_sharded(cfg: CameraConfig, rc: RenderConfig, scene,
             keep = (has_min & (my_idx == winner_shard)).astype(
                 fb["RGBA"].dtype
             )[..., None]
-            merged["zmin"] = global_zmin
+            if tiled:
+                tile_h = rc.yres_region // n_shards
+                merged["zmin"] = jax.lax.dynamic_slice_in_dim(
+                    global_zmin, idx * tile_h, tile_h, 0
+                )
+            else:
+                merged["zmin"] = global_zmin
 
         for k2, v in fb.items():
             if k2 == "zmin":
                 continue
             elif any(s.name == k2 and s.filter == CLOSEST for s in specs):
-                merged[k2] = jax.lax.psum(v * keep, axis)
+                merged[k2] = merge(v * keep)
             else:
-                merged[k2] = jax.lax.psum(v, axis)
+                merged[k2] = merge(v)
         return resolve_imager(rc, merged), merged
 
+    out_spec = P(axis) if tiled else P()
     fn = jax.shard_map(
         shard_fn,
         mesh=mesh,
         in_specs=(P(), P(), P()),
-        out_specs=(P(), P()),
+        out_specs=(out_spec, out_spec),
         check_vma=False,
     )
     return fn(cam_to_world, scene, po_lens)
@@ -137,7 +166,7 @@ def train_step_sharded(cfg: CameraConfig, rc: RenderConfig, scene,
     (pt_coeffs, ap_coeffs)).
     """
 
-    def loss_fn(coeffs):
+    def loss_fn(coeffs, scene_l, cam_l, target_l):
         lens = jax.tree_util.tree_map(lambda x: x, po_lens)
         import dataclasses as dc
         lens = dc.replace(
@@ -146,13 +175,16 @@ def train_step_sharded(cfg: CameraConfig, rc: RenderConfig, scene,
             ap=dc.replace(lens.ap, coeffs=coeffs[1]),
         )
         img, _ = render_frame_sharded(
-            cfg, rc, scene, cam_to_world, mesh, seed=seed,
+            cfg, rc, scene_l, cam_l, mesh, seed=seed,
             po_lens=lens, po_state=po_state,
             use_pallas=False,  # grads w.r.t. coeffs need the pure path
             aovs=aovs,
         )
-        return jnp.mean((img - target_image) ** 2)
+        return jnp.mean((img - target_l) ** 2)
 
     coeffs = (po_lens.pt.coeffs, po_lens.ap.coeffs)
-    loss, grads = jax.value_and_grad(loss_fn)(coeffs)
+    # jit the whole step: the eager path dispatches the grad(shard_map(...))
+    # graph op-by-op (minutes on CPU hosts); one compile + one run instead
+    step = jax.jit(jax.value_and_grad(loss_fn))
+    loss, grads = step(coeffs, scene, cam_to_world, target_image)
     return loss, grads

@@ -194,6 +194,10 @@ def render_sample_stream(cfg: CameraConfig, rc: RenderConfig, scene,
         stream["transmission"] = shaded["transmission"] * weight[:, None]
     if "volume" in shaded:
         stream["volume"] = shaded["volume"]
+    # depth-iterated opacity-weighted id coverage (cryptomatte layers)
+    if "crypto_ids" in shaded:
+        stream["crypto_ids"] = shaded["crypto_ids"]
+        stream["crypto_weights"] = shaded["crypto_weights"]
     return stream
 
 
@@ -249,11 +253,14 @@ def resolve_gaussian(rc: RenderConfig, stream: dict) -> jnp.ndarray:
     return num / jnp.maximum(den, 1e-12)[..., None]
 
 
-@partial(jax.jit, static_argnums=(0, 1), static_argnames=("seed",))
+@partial(jax.jit, static_argnums=(0, 1), static_argnames=("seed", "po_state"))
 def render_frame_simple(cfg: CameraConfig, rc: RenderConfig, scene,
-                        cam_to_world, seed: int = 0):
+                        cam_to_world, seed: int = 0, po_lens=None,
+                        po_state=None, bokeh_cdf=None):
     """Forward-only render (no redistribution): the minimum end-to-end slice."""
-    stream = render_sample_stream(cfg, rc, scene, cam_to_world, seed)
+    stream = render_sample_stream(cfg, rc, scene, cam_to_world, seed,
+                                  po_lens=po_lens, po_state=po_state,
+                                  bokeh_cdf=bokeh_cdf)
     return resolve_gaussian(rc, stream)
 
 

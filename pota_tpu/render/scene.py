@@ -132,6 +132,22 @@ class SphereScene:
             rgb = rgb + transmitted
             out["transmission"] = transmitted
 
+            # depth-iterated opacity-weighted crypto coverage layers
+            # (the cache the reference builds per sample from Arnold's depth
+            # sub-samples, src/lentil.h:780-811): the front surface takes
+            # opacity x transparency-so-far, the leftover quota folds into
+            # the last depth sample (the behind hit, or the front surface
+            # itself when nothing is behind)
+            grey = (tint[:, 0] + tint[:, 1] + tint[:, 2]) / 3.0
+            opacity_front = jnp.clip(1.0 - grey, 0.0, 1.0)
+            w_front = jnp.where(hit, opacity_front, 0.0)
+            w_back = jnp.where(hit, 1.0 - opacity_front, 0.0)
+            id_back = jnp.where(hit2, idx2, idx).astype(jnp.int32)
+            out["crypto_ids"] = jnp.stack(
+                [jnp.where(hit, idx, -1).astype(jnp.int32), id_back], -1
+            )
+            out["crypto_weights"] = jnp.stack([w_front, w_back], -1)
+
         alpha = jnp.where(hit, 1.0, 0.0)
         rgba = jnp.concatenate([rgb, alpha[:, None]], -1)
         z = jnp.where(hit, t, INF)

@@ -584,19 +584,34 @@ def splat_frame(cfg: CameraConfig, rc: RenderConfig, scene, stream,
 
     # ---- id-matte (cryptomatte capability, SURVEY.md C13): dense per-id
     # coverage accumulated with the same splat weight chain
-    # (ref add_to_buffer_cryptomatte, src/lentil.h:814-819) ----------------
+    # (ref add_to_buffer_cryptomatte, src/lentil.h:814-819).
+    #
+    # Opacity weighting: when the stream carries depth-iterated coverage
+    # layers ("crypto_ids" [N, D] + "crypto_weights" [N, D] — each sample's
+    # per-depth (id, opacity-x-transparency) pairs with the leftover quota
+    # folded into the last layer, exactly the cache the reference builds in
+    # cryptomatte_construct_cache, src/lentil.h:780-811), every layer rides
+    # the splat with weight w * layer_weight, so transparent-edge mattes
+    # follow the bokeh.  Single-hit streams fall back to the binary obj_id.
     if n_crypto_ids:
-        oid = stream["obj_id"]
-        id_safe = jnp.maximum(oid, 0)
-        has_id = oid >= 0
+        if "crypto_ids" in stream:
+            ids_d = stream["crypto_ids"]            # [N, D]
+            wts_d = stream["crypto_weights"]        # [N, D]
+        else:
+            ids_d = stream["obj_id"][:, None]
+            wts_d = jnp.ones_like(ids_d, dtype)
         crypto = jnp.zeros((npix * n_crypto_ids,), dtype)
-        slot_cidx = lin_splat * n_crypto_ids + id_safe[src]
-        crypto = crypto.at[slot_cidx].add(
-            jnp.where(has_id[src], w_slot, 0.0)
-        )
-        crypto = crypto.at[lin_source * n_crypto_ids + id_safe].add(
-            jnp.where(has_id, w_src, 0.0)
-        )
+        for d in range(ids_d.shape[1]):
+            oid = ids_d[:, d]
+            lw = wts_d[:, d]
+            id_safe = jnp.maximum(oid, 0)
+            has_id = (oid >= 0) & (lw > 0.0)
+            crypto = crypto.at[lin_splat * n_crypto_ids + id_safe[src]].add(
+                jnp.where(has_id[src], w_slot * lw[src], 0.0)
+            )
+            crypto = crypto.at[lin_source * n_crypto_ids + id_safe].add(
+                jnp.where(has_id, w_src * lw, 0.0)
+            )
         total = jnp.zeros((npix,), dtype)
         total = total.at[lin_splat].add(w_slot)
         total = total.at[lin_source].add(w_src)

@@ -88,6 +88,42 @@ def test_raydir_aov_unit_norm(fb):
     )
 
 
+def test_opacity_weighted_crypto_layers():
+    """A 50%-transparent glass sphere in front of an opaque one must split
+    its pixel coverage by opacity (front gets 1-grey(tint), remainder to
+    the hit behind) — the reference's depth-iterated opacity-weighted
+    cache, src/lentil.h:780-811."""
+    import jax.numpy as jnp
+
+    from pota_tpu.render.splat import resolve_crypto
+
+    glass_tint = 0.5
+    scene = sc.SphereScene(
+        centers=jnp.asarray([[0.0, 0.0, -100.0], [0.0, 0.0, -300.0]]),
+        radii=jnp.asarray([40.0, 60.0]),
+        emission=jnp.asarray([[0.0, 0.0, 0.0], [5.0, 5.0, 5.0]]),
+        albedo=jnp.zeros((2, 3)),
+        sky_color=jnp.zeros((3,)),
+        light_dir=jnp.asarray([0.0, 1.0, 0.0]),
+        light_color=jnp.zeros((3,)),
+        transmission=jnp.asarray(
+            [[glass_tint] * 3, [0.0, 0.0, 0.0]]
+        ),
+    )
+    cfg = CameraConfig(focal_length=65.0, fstop=1.8, focus_distance=150.0,
+                       vignetting_retries=1, max_bidir_samples=8)
+    rc = RenderConfig(xres=16, yres=16, spp=4, enable_id_matte=True)
+    img, buffers = render_frame(cfg, rc, scene,
+                                look_at([0, 0, 0], [0, 0, -1]), seed=0)
+    crypto = np.asarray(buffers["crypto"])          # [H, W, 2]
+    total = np.asarray(buffers["crypto_total"])
+    # central pixels: glass covers the opaque sphere entirely
+    c = crypto[6:10, 6:10] / np.maximum(total[6:10, 6:10, None], 1e-12)
+    # front (id 0) gets opacity 1-0.5; behind (id 1) the remaining quota
+    np.testing.assert_allclose(c[..., 0], 1.0 - glass_tint, atol=0.02)
+    np.testing.assert_allclose(c[..., 1], glass_tint, atol=0.02)
+
+
 def test_id_matte_ranked_resolve():
     from pota_tpu.render.splat import resolve_crypto
 

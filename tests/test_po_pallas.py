@@ -143,6 +143,7 @@ def catalog_lens():
     return poly
 
 
+@pytest.mark.slow
 def test_forward_kernel_matches_pure_catalog_lens(catalog_lens):
     lens = catalog_lens
     rng = np.random.default_rng(3)
@@ -178,6 +179,7 @@ def test_forward_kernel_matches_pure_catalog_lens(catalog_lens):
     )
 
 
+@pytest.mark.slow
 def test_backward_kernel_matches_pure_catalog_lens(catalog_lens):
     lens = catalog_lens
     rng = np.random.default_rng(5)
