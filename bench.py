@@ -162,7 +162,7 @@ def bench_po_bidir_1080p(poly):
     cfg = CameraConfig(
         camera_type=CameraType.POLYNOMIAL_OPTICS, lens_model=FLAGSHIP,
         fstop=2.8, focus_distance=20.0, vignetting_retries=3,
-        splat_queue_mult=8,
+        splat_queue_mult=8, splat_chunks=16,
     )
     state = setup_po_camera(poly, cfg)
     rc = RenderConfig(xres=1920, yres=1080, spp=1)
@@ -265,8 +265,12 @@ def main():
         try:
             r = fn(*args)
             configs.append(r)
-            print(f"[bench] {r['metric']}: {r['value']:.4g} {r['unit']}",
-                  file=sys.stderr, flush=True)
+            if "value" in r:
+                print(f"[bench] {r['metric']}: {r['value']:.4g} {r['unit']}",
+                      file=sys.stderr, flush=True)
+            else:
+                print(f"[bench] {r['metric']}: recorded", file=sys.stderr,
+                      flush=True)
             return r
         except Exception as e:  # record the failure, keep benching
             configs.append({"metric": name, "error": repr(e)})

@@ -95,6 +95,13 @@ class CameraConfig:
     max_bidir_samples: int = 2000       # per-sample budget clamp (ref: 2000)
     splat_queue_mult: int = 16          # splat queue slots per AA sample
     lt_newton_iterations: int = 5       # backward-splat Newton solve depth
+    # Sequentialize the queue's heavy per-slot stages (backward Newton
+    # projection + occlusion probes) over this many lax.map chunks.  The
+    # stages' working set scales with the live chunk, so HBM temp usage
+    # drops ~1/chunks while the scatter stays one fused pass: a 1080p
+    # frame's 16M-slot queue compiles in ~56G of temps unchunked (v5e OOM)
+    # and fits comfortably at 16 chunks.  1 = fully parallel (small frames).
+    splat_chunks: int = 1
     # When False, gradients treat the backward-splat landing positions as
     # constant (energy values stay differentiable through the forward
     # trace); collapses the training-step transpose graph dramatically.

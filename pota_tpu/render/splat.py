@@ -138,6 +138,29 @@ def compute_gates_and_budget(cfg: CameraConfig, rc: RenderConfig, stream,
     return redistribute, budget, coc, sky
 
 
+def _map_chunks(fn, n_chunks: int, *args):
+    """Run ``fn`` over the leading (queue) dimension in sequential chunks.
+
+    ``lax.map`` over [n_chunks, S/n_chunks, ...] reshapes: the chunk body's
+    intermediates (Newton jacobian tangents, occlusion candidate tests)
+    only ever exist at chunk size, capping HBM temp pressure at ~1/n_chunks
+    of the fused single-pass form.  Falls back to one pass when the queue
+    doesn't divide (or chunking is off).
+    """
+    s = args[0].shape[0]
+    if n_chunks <= 1 or s % n_chunks != 0:
+        return fn(*args)
+    c = s // n_chunks
+
+    def reshape_in(a):
+        return a.reshape((n_chunks, c) + a.shape[1:])
+
+    out = jax.lax.map(lambda xs: fn(*xs), tuple(reshape_in(a) for a in args))
+    return jax.tree_util.tree_map(
+        lambda a: a.reshape((s,) + a.shape[2:]), out
+    )
+
+
 def splat_queue(budget, redistribute, rays_per_count: int, queue_size: int):
     """Build the flat slot->source mapping for the splat queue.
 
@@ -432,13 +455,28 @@ def splat_frame(cfg: CameraConfig, rc: RenderConfig, scene, stream,
     )
     p_cam_q = p_cam_safe[src]
     if cfg.camera_type == CameraType.POLYNOMIAL_OPTICS:
-        proj = po_backward_project(
-            cfg, rc, po_lens, po_state, p_cam_q, seed_q, counter,
-            channel=channel, bokeh_cdf=bokeh_cdf, use_pallas=use_pallas,
-        )
+        if channel is not None:
+            proj = _map_chunks(
+                lambda p, s, k, ch: po_backward_project(
+                    cfg, rc, po_lens, po_state, p, s, k, channel=ch,
+                    bokeh_cdf=bokeh_cdf, use_pallas=use_pallas,
+                ),
+                cfg.splat_chunks, p_cam_q, seed_q, counter, channel,
+            )
+        else:
+            proj = _map_chunks(
+                lambda p, s, k: po_backward_project(
+                    cfg, rc, po_lens, po_state, p, s, k,
+                    bokeh_cdf=bokeh_cdf, use_pallas=use_pallas,
+                ),
+                cfg.splat_chunks, p_cam_q, seed_q, counter,
+            )
     else:
-        proj = thinlens_backward_project(
-            cfg, rc, p_cam_q, seed_q, counter, bokeh_cdf=bokeh_cdf,
+        proj = _map_chunks(
+            lambda p, s, k: thinlens_backward_project(
+                cfg, rc, p, s, k, bokeh_cdf=bokeh_cdf,
+            ),
+            cfg.splat_chunks, p_cam_q, seed_q, counter,
         )
     if not cfg.differentiate_splat_geometry:
         proj = jax.tree_util.tree_map(jax.lax.stop_gradient, proj)
@@ -460,7 +498,10 @@ def splat_frame(cfg: CameraConfig, rc: RenderConfig, scene, stream,
                        precision=jax.lax.Precision.HIGHEST) + cam_to_world[:3, 3]
         )
     p_ws_q = p_ws[src]
-    occluded = scene.occluded(p_ws_q, cam_pos_ws)
+    occluded = _map_chunks(
+        lambda a, b: scene.occluded(a, b),
+        cfg.splat_chunks, p_ws_q, cam_pos_ws,
+    )
     occluded = occluded & ~sky[src]
 
     xres_r, yres_r = rc.xres_region, rc.yres_region
