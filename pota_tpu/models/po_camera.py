@@ -22,6 +22,9 @@ from ..optics.polynomial import (
 from ..utils import rng as prng
 
 _FORWARD_KERNEL_CACHE: dict = {}
+# (name, shift, iterations) -> (digest, kernel): the prebuilt kernel looked
+# up by static name when the coefficients are tracers (see resolver note)
+_FORWARD_KERNEL_BY_NAME: dict = {}
 
 
 def _kernel_key(lens: PolyLens, sensor_shift: float, iterations: int):
@@ -54,17 +57,31 @@ def _resolve_forward_kernel(lens: PolyLens, sensor_shift: float,
         return None
     if jax.default_backend() == "cpu":
         return None
+    name_key = (lens.name, round(float(sensor_shift), 6), iterations)
+    if isinstance(lens.pt.coeffs, jax.core.Tracer):
+        # Inside jit the lens pytree's coefficients are tracers, so the
+        # digest can't be computed — look up the kernel PREBUILT by
+        # setup_po_camera under the static lens name.  Render contract:
+        # jitted renders use the concrete committed fit (prebuild refreshes
+        # the entry on every setup); training paths that perturb
+        # coefficients MUST pass use_pallas=False (they need the
+        # differentiable pure path anyway).  Without this fallback every
+        # jitted render silently pays the pure path — at 1080p that is a
+        # [2M, K, T] monomial temp (~5 GB) per evaluation.
+        ent = _FORWARD_KERNEL_BY_NAME.get(name_key)
+        return ent[1] if ent is not None else None
     key = _kernel_key(lens, sensor_shift, iterations)
-    if key is None:  # traced coefficients -> differentiable pure path
+    if key is None:
         return None
     kern = _FORWARD_KERNEL_CACHE.get(key)
-    if kern is None and not isinstance(lens.pt.coeffs, jax.core.Tracer):
+    if kern is None:
         from ..ops.po_pallas import build_po_forward_kernel
 
         kern = build_po_forward_kernel(
             lens, float(sensor_shift), newton_iterations=iterations
         )
         _FORWARD_KERNEL_CACHE[key] = kern
+    _FORWARD_KERNEL_BY_NAME[name_key] = (key[1], kern)
     return kern
 
 

@@ -504,6 +504,9 @@ def _solve4(J, r):
 # ------------------------------------------------------------- kernel cache --
 
 _BACKWARD_KERNEL_CACHE: dict = {}
+# (name, iterations) -> (digest, kernel): prebuilt kernels by static name,
+# for lookups from inside jit where the coefficients are tracers
+_BACKWARD_KERNEL_BY_NAME: dict = {}
 
 
 def resolve_backward_kernel(lens: PolyLens, iterations: int,
@@ -511,9 +514,11 @@ def resolve_backward_kernel(lens: PolyLens, iterations: int,
     """Return the fused backward kernel, or None for the pure-JAX path.
 
     Same contract as the forward resolver in models/po_camera.py: the
-    kernel bakes concrete coefficients, so it can only be built outside
-    tracing — :func:`prebuild_backward_kernel` populates the cache (keyed
-    by the static lens name) so jitted splat passes find it.
+    kernel bakes concrete coefficients.  Inside jit the coefficients are
+    tracers, so the resolver falls back to the kernel PREBUILT by
+    setup_po_camera under the static lens name (renders use the concrete
+    committed fit; training paths that perturb coefficients must pass
+    ``use_pallas=False`` — they need the differentiable pure path anyway).
     """
     import os
 
@@ -523,14 +528,19 @@ def resolve_backward_kernel(lens: PolyLens, iterations: int,
         return None
     if jax.default_backend() == "cpu":
         return None
+    name_key = (lens.name, iterations)
+    if isinstance(lens.pt.coeffs, jax.core.Tracer):
+        ent = _BACKWARD_KERNEL_BY_NAME.get(name_key)
+        return ent[1] if ent is not None else None
     digest = lens_digest(lens)
-    if digest is None:  # traced coefficients -> differentiable pure path
+    if digest is None:
         return None
     key = (lens.name, digest, iterations)
     kern = _BACKWARD_KERNEL_CACHE.get(key)
-    if kern is None and not isinstance(lens.pt.coeffs, jax.core.Tracer):
+    if kern is None:
         kern = build_po_backward_kernel(lens, iterations=iterations)
         _BACKWARD_KERNEL_CACHE[key] = kern
+    _BACKWARD_KERNEL_BY_NAME[name_key] = (digest, kern)
     return kern
 
 

@@ -587,6 +587,12 @@ def splat_frame(cfg: CameraConfig, rc: RenderConfig, scene, stream,
     buffers: dict = {}
     weight_buf = jnp.zeros((npix,), dtype)
 
+    # closest-class AOVs all share the winner selection: fuse their masked
+    # writes into ONE wide scatter (each scatter op on TPU pays its own
+    # serialization; k AOVs in one [*, 4k] payload cost ~1 scatter)
+    closest_specs = [s for s in aovs if s.filter == CLOSEST]
+    closest_payload = []
+
     for spec in aovs:
         values = aov_value_rgba(stream, spec)  # [N, 4]
         slot_vals = values[src]  # [S, 4]
@@ -600,15 +606,25 @@ def splat_frame(cfg: CameraConfig, rc: RenderConfig, scene, stream,
 
         if spec.filter == GAUSSIAN:
             if spec.name == "RGBA":
-                slot_contrib = slot_vals * rgbw * w_slot[..., None]
+                # the RGBA filter-weight plane rides the same scatter as a
+                # 5th payload column (one wide scatter instead of two)
+                slot_contrib = jnp.concatenate(
+                    [slot_vals * rgbw * w_slot[..., None],
+                     w_slot[..., None]], -1,
+                )
+                src_contrib = jnp.concatenate(
+                    [values * w_src[:, None], w_src[:, None]], -1
+                )
+                buf5 = jnp.zeros((npix, 5), dtype)
+                buf5 = buf5.at[lin_splat].add(slot_contrib)
+                buf5 = buf5.at[lin_source].add(src_contrib)
+                weight_buf = buf5[:, 4]
+                buf = buf5[:, :4]
             else:
-                slot_contrib = slot_vals * w_slot[..., None]
-            buf = jnp.zeros((npix, 4), dtype)
-            buf = buf.at[lin_splat].add(slot_contrib)
-            buf = buf.at[lin_source].add(values * w_src[:, None])
-            if spec.name == "RGBA":
-                weight_buf = weight_buf.at[lin_splat].add(w_slot)
-                weight_buf = weight_buf.at[lin_source].add(w_src)
+                buf = jnp.zeros((npix, 4), dtype)
+                buf = buf.at[lin_splat].add(slot_vals * w_slot[..., None])
+                buf = buf.at[lin_source].add(values * w_src[:, None])
+            buffers[spec.name] = buf.reshape(yres_r, xres_r, 4)
         else:  # CLOSEST: winner-take write by depth
             writer_vals = jnp.concatenate([slot_vals, values], 0)
             if spec.name == "lentil_debug":
@@ -617,11 +633,16 @@ def splat_frame(cfg: CameraConfig, rc: RenderConfig, scene, stream,
                 take = is_winner & nz
             else:
                 take = is_winner
-            buf = jnp.zeros((npix, 4), dtype)
-            buf = buf.at[writer_pix].add(
-                writer_vals * take[:, None].astype(dtype)
+            closest_payload.append(writer_vals * take[:, None].astype(dtype))
+
+    if closest_payload:
+        wide = jnp.concatenate(closest_payload, -1)        # [S+N, 4k]
+        buf = jnp.zeros((npix, wide.shape[-1]), dtype)
+        buf = buf.at[writer_pix].add(wide)
+        for i, spec in enumerate(closest_specs):
+            buffers[spec.name] = buf[:, 4 * i: 4 * i + 4].reshape(
+                yres_r, xres_r, 4
             )
-        buffers[spec.name] = buf.reshape(yres_r, xres_r, 4)
 
     # ---- id-matte (cryptomatte capability, SURVEY.md C13): dense per-id
     # coverage accumulated with the same splat weight chain

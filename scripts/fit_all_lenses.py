@@ -1,4 +1,9 @@
-"""Fit + cache every catalog lens (degree 5; fisheye at degree 6 too).
+"""Fit + cache every catalog lens at degree 5.
+
+Degree 6 was measured WORSE for the fisheyes on held-out rays (0.14-0.27mm
+pos rms vs 0.036-0.046mm at degree 5, even at 400k training samples and
+220 terms — the larger monomial pool prunes to a worse-conditioned subset
+in f32); degree 5 is canonical for every family.
 
 Run offline: ``python scripts/fit_all_lenses.py``.  Fits are cached in
 ``data/lenses/*.npz`` and committed so renders never refit.  Prints one
@@ -12,7 +17,7 @@ os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pota_tpu.lens.database import CATALOG, get_lens_system, lens_names
+from pota_tpu.lens.database import get_lens_system, lens_names
 from pota_tpu.optics.fit import fit_lens, load_poly_lens, save_poly_lens
 
 
@@ -45,8 +50,6 @@ def main():
             continue
         try:
             fit_one(name, 5)
-            if CATALOG[name][0] == "fisheye":
-                fit_one(name, 6)  # wide-angle needs higher degree (NOTES #8)
         except Exception as e:  # keep going; report at the end
             print(f"[FAIL] {name}: {e}", flush=True)
             failed.append(name)

@@ -10,9 +10,10 @@ gates (verified by test_corrupted_coefficient_fails).
 
 Thresholds are ~3x the rms measured across the committed database on
 2026-08-20 (scripts/check_fit_fidelity.py): typical deg5 fits sit at
-pos 0.004-0.046 mm, dir 1e-4 - 1.8e-3, ap 0.001-0.014 mm.  The deg6
-fisheye refits measure *worse* than deg5 (pos up to 0.28 mm) — gated at
-their measured level so they cannot regress further.
+pos 0.004-0.046 mm, dir 1e-4 - 1.8e-3, ap 0.001-0.014 mm.  Degree 5 is
+canonical for every family: degree-6 fisheye fits measured strictly worse
+on held-out rays (0.14-0.27 mm even at 400k samples / 220 terms) and were
+removed from the database.
 """
 import os
 import re
@@ -30,7 +31,6 @@ from pota_tpu.optics.raytrace import trace_to_chart
 DEFAULT_THRESH = (0.12, 0.005, 0.04)
 THRESH = {
     ("fisheye", 5): (0.15, 0.004, 0.02),
-    ("fisheye", 6): (0.60, 0.012, 0.06),
     ("retrofocus_wideangle", 5): (0.10, 0.006, 0.04),
 }
 # degree-3 fast fits (dryrun helper) are intentionally coarse

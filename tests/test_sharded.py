@@ -56,6 +56,7 @@ def test_dryrun_multichip_entrypoint():
     g.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_sharded_bitexact_16x16(grid_scene):
     """With the bokeh discs fully on-frame, the sharded and single-device
     renders must agree bit-for-bit: the splat is a deterministic scatter-add

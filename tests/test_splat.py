@@ -21,10 +21,18 @@ def grid_scene():
                               intensity=40.0)
 
 
-def test_redistribution_spreads_highlights(grid_scene):
-    img, fb = render_frame(CFG, RC, grid_scene, M, seed=0)
+def test_redistribution_spreads_highlights():
+    """A strongly defocused emitter's bokeh disc lights far more pixels
+    with redistribution than the passthrough filter's 1.5-wide footprint
+    halo can (close focus: disc ~14 px on the 48 px frame)."""
+    cfg = CameraConfig(focal_length=65.0, fstop=1.8, focus_distance=15.0,
+                       vignetting_retries=2, max_bidir_samples=64,
+                       splat_queue_mult=6)
+    scene = sc.lightgrid_scene(n=1, spacing=1.0, z=-45.0, radius=1.0,
+                               intensity=40.0)
+    img, fb = render_frame(cfg, RC, scene, M, seed=0)
     rc_no = RenderConfig(xres=48, yres=48, spp=4, enable_redistribution=False)
-    img_no, _ = render_frame(CFG, rc_no, grid_scene, M, seed=0)
+    img_no, _ = render_frame(cfg, rc_no, scene, M, seed=0)
     img, img_no = np.asarray(img), np.asarray(img_no)
     assert np.isfinite(img).all()
     lit = (img[..., :3].max(-1) > 0.02).sum()
