@@ -1,12 +1,18 @@
-"""Parameter reference generator (the uigen.py capability).
+"""Parameter reference / DCC UI generator (the uigen.py capability).
 
 The reference compiles a single UI DSL (``src/lentil_camera.ui``) into four
-DCC formats via ``src/uigen.py`` (SURVEY.md C18).  The TPU build's single
-source of truth is the CameraConfig dataclass; this module renders it into
-a markdown parameter reference (and a JSON schema for programmatic UIs) so
-the config surface stays documented from one source.
+DCC formats via ``src/uigen.py`` (SURVEY.md C18): Arnold .mtd metadata,
+a Maya Attribute Editor template, Katana .args XML, and C4D resources.
+The TPU build's single source of truth is the CameraConfig dataclass; this
+module renders it into the same class of artifacts from one source:
 
-Run: ``python -m pota_tpu.utils.paramdoc [out.md]``
+  * markdown parameter reference (docs/parameters.md)
+  * JSON schema for programmatic UIs (docs/parameters.json)
+  * Arnold-style .mtd metadata block      (render_mtd)
+  * Katana-style .args XML                (render_args)
+  * Maya AE template (Python)             (render_ae_template)
+
+Run: ``python -m pota_tpu.utils.paramdoc [docs_dir]`` to write all of them.
 """
 from __future__ import annotations
 
@@ -49,6 +55,10 @@ _DESCRIPTIONS = {
     "enable_bidir_transmission": "Redistribute transmitted (glass) energy too.",
     "enable_skydome": "Redistribute skydome samples (position synthesized from ray direction).",
     "max_bidir_samples": "Static cap on backward splats per source sample (TPU lane width).",
+    "splat_queue_mult": "Splat queue capacity as a multiple of the AA sample count (static shape for XLA).",
+    "lt_newton_iterations": "Newton iterations for the backward lt_sample_aperture solve.",
+    "splat_chunks": "Number of sequential splat stages (bounds peak HBM at high resolution).",
+    "differentiate_splat_geometry": "Differentiate pixel positions/weights of splats too (heavier transpose graph).",
     # RenderConfig
     "xres": "Image width in pixels.",
     "yres": "Image height in pixels.",
@@ -63,21 +73,60 @@ _DESCRIPTIONS = {
 }
 
 
+# UI ranges (min, max, softmin, softmax); mirrors the intent of the reference
+# UI DSL ranges (src/lentil_camera.ui) without copying its values verbatim —
+# hard bounds come from the physics, soft bounds are sensible slider spans.
+_RANGES = {
+    "sensor_width": (1.0, 1000.0, 8.0, 70.0),
+    "fstop": (0.0, 64.0, 0.0, 22.0),
+    "focus_distance": (0.0, 1e9, 0.0, 5000.0),
+    "aperture_blades": (0, 16, 0, 9),
+    "exposure": (0.0, 1e6, 0.0, 8.0),
+    "wavelength": (350.0, 850.0, 400.0, 700.0),
+    "extra_sensor_shift": (-45.0, 45.0, -5.0, 5.0),
+    "focal_length": (1.0, 1000.0, 12.0, 200.0),
+    "optical_vignetting_distance": (0.0, 1000.0, 0.0, 100.0),
+    "optical_vignetting_radius": (0.0, 10.0, 0.0, 2.0),
+    "abb_spherical": (0.0, 1.0, 0.0, 1.0),
+    "abb_distortion": (-10.0, 10.0, -1.0, 1.0),
+    "abb_coma": (0.0, 10.0, 0.0, 2.0),
+    "abb_chromatic": (0.0, 10.0, 0.0, 2.0),
+    "circle_to_square": (0.0, 1.0, 0.0, 1.0),
+    "bokeh_anamorphic": (0.0, 10.0, 0.0, 4.0),
+    "vignetting_retries": (0, 500, 0, 50),
+    "bidir_sample_mult": (0, 1000, 0, 50),
+    "bidir_add_energy": (0.0, 1000.0, 0.0, 10.0),
+    "bidir_add_energy_minimum_luminance": (0.0, 1e6, 0.0, 10.0),
+    "bidir_add_energy_transition": (0.0, 1e6, 0.0, 10.0),
+    "max_bidir_samples": (1, 4096, 4, 2000),
+}
+
+
 def param_table(cls) -> list[dict]:
     rows = []
     for f in dataclasses.fields(cls):
         default = f.default
+        options = None
         if isinstance(default, enum.Enum):
+            options = [e.name.lower() for e in type(default)]
             default = default.name
-        rows.append(
-            {
-                "name": f.name,
-                "type": getattr(f.type, "__name__", str(f.type)),
-                "default": default,
-                "description": _DESCRIPTIONS.get(f.name, ""),
-            }
-        )
+        row = {
+            "name": f.name,
+            "type": getattr(f.type, "__name__", str(f.type)),
+            "default": default,
+            "description": _DESCRIPTIONS.get(f.name, ""),
+        }
+        if options:
+            row["options"] = options
+        if f.name in _RANGES:
+            lo, hi, slo, shi = _RANGES[f.name]
+            row.update(min=lo, max=hi, softmin=slo, softmax=shi)
+        rows.append(row)
     return rows
+
+
+def _label(name: str) -> str:
+    return name.replace("_", " ").title().replace("Abb ", "Aberration: ")
 
 
 def render_markdown() -> str:
@@ -109,13 +158,104 @@ def render_json_schema() -> str:
     )
 
 
+def render_mtd(node_name: str = "pota_camera") -> str:
+    """Arnold-style .mtd node metadata (ref uigen.py WriteMTD output class)."""
+    out = [f"[node {node_name}]", '    desc                      STRING  '
+           '"TPU-native polynomial-optics lens camera (pota_tpu)"',
+           '    maya.id                   INT     0x00116420', ""]
+    for r in param_table(CameraConfig):
+        out.append(f"    [attr {r['name']}]")
+        if r["description"]:
+            out.append(f'        desc        STRING  "{r["description"]}"')
+        for key, mtd in (("min", "min"), ("max", "max"),
+                         ("softmin", "softmin"), ("softmax", "softmax")):
+            if key in r:
+                typ = "INT" if r["type"] == "int" else "FLOAT"
+                out.append(f"        {mtd:<12}{typ:<8}{r[key]}")
+        if "options" in r:
+            out.append('        widget      STRING  "popup"')
+        out.append("")
+    return "\n".join(out)
+
+
+def render_args(node_name: str = "pota_camera") -> str:
+    """Katana-style .args XML (ref uigen.py WriteArgs output class)."""
+    from xml.sax.saxutils import escape
+
+    out = ['<!-- generated by pota_tpu.utils.paramdoc -->', "",
+           '<args format="1.0">', "",
+           f'<page name="{_label(node_name)}" open="True">']
+    for r in param_table(CameraConfig):
+        attrs = [f'name="{r["name"]}"', f'label="{_label(r["name"])}"']
+        if r["type"] == "bool":
+            attrs.append('widget="checkBox"')
+        elif "options" in r:
+            attrs.append('widget="mapper"')
+        elif r["type"] in ("int", "float") and "softmin" in r:
+            attrs += ['slider="True"', f'slidermin="{r["softmin"]}"',
+                      f'min="{r["min"]}"', f'slidermax="{r["softmax"]}"',
+                      f'max="{r["max"]}"']
+        if "options" in r:
+            out.append(f"\t<param {' '.join(attrs)}>")
+            out.append('\t\t<hintdict name="options">')
+            for opt in r["options"]:
+                out.append(f'\t\t<string value="{opt}"/>')
+            out.append("\t\t</hintdict>")
+            if r["description"]:
+                out.append(f"\t\t<help>{escape(r['description'])}</help>")
+            out.append("\t</param>")
+        elif r["description"]:
+            out.append(f"\t<param {' '.join(attrs)}>")
+            out.append(f"\t\t<help>{escape(r['description'])}</help>")
+            out.append("\t</param>")
+        else:
+            out.append(f"\t<param {' '.join(attrs)}/>")
+    out += ["</page>", "", "</args>", ""]
+    return "\n".join(out)
+
+
+def render_ae_template(node_name: str = "pota_camera") -> str:
+    """Maya Attribute Editor template, Python flavor (ref WriteAETemplate)."""
+    cls = "AE" + "".join(w.title() for w in node_name.split("_")) + "Template"
+    out = ["# generated by pota_tpu.utils.paramdoc — Maya AE template",
+           "from mtoa.ui.ae.templates import CameraTemplate", "", "",
+           f"class {cls}(CameraTemplate):",
+           "    def setup(self):",
+           "        self.beginScrollLayout()",
+           f'        self.beginLayout("{_label(node_name)}", collapse=False)']
+    for r in param_table(CameraConfig):
+        ann = r["description"].replace('"', "'")
+        out.append(
+            f'        self.addControl("{r["name"]}", '
+            f'label="{_label(r["name"])}", annotation="{ann}")'
+        )
+    out += ["        self.endLayout()",
+            "        self.addExtraControls()",
+            "        self.endScrollLayout()", ""]
+    return "\n".join(out)
+
+
+def write_all(docs_dir: str = "docs") -> list[str]:
+    import os
+
+    dcc = os.path.join(docs_dir, "dcc")
+    os.makedirs(dcc, exist_ok=True)
+    written = []
+    for path, text in (
+        (os.path.join(docs_dir, "parameters.md"), render_markdown()),
+        (os.path.join(docs_dir, "parameters.json"), render_json_schema()),
+        (os.path.join(dcc, "pota_camera.mtd"), render_mtd()),
+        (os.path.join(dcc, "pota_camera.args"), render_args()),
+        (os.path.join(dcc, "pota_camera_ae_template.py"), render_ae_template()),
+    ):
+        with open(path, "w") as f:
+            f.write(text)
+        written.append(path)
+    return written
+
+
 if __name__ == "__main__":
     import sys
 
-    path = sys.argv[1] if len(sys.argv) > 1 else "docs/parameters.md"
-    import os
-
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    with open(path, "w") as f:
-        f.write(render_markdown())
-    print(f"wrote {path}")
+    for p in write_all(sys.argv[1] if len(sys.argv) > 1 else "docs"):
+        print(f"wrote {p}")

@@ -1,0 +1,58 @@
+"""C18 UI-generator parity: one config source -> multiple DCC artifacts.
+
+Reference: src/uigen.py compiles src/lentil_camera.ui into .mtd, Maya AE,
+Katana .args and C4D resources (SURVEY.md C18).  Here the single source is
+the CameraConfig dataclass and the artifacts are validated structurally.
+"""
+import ast
+import dataclasses
+import json
+import xml.etree.ElementTree as ET
+
+from pota_tpu.config import CameraConfig
+from pota_tpu.utils import paramdoc
+
+
+def test_param_table_covers_every_field():
+    rows = paramdoc.param_table(CameraConfig)
+    names = {r["name"] for r in rows}
+    assert names == {f.name for f in dataclasses.fields(CameraConfig)}
+    # every field documented
+    missing = [r["name"] for r in rows if not r["description"]]
+    assert not missing, f"undocumented params: {missing}"
+
+
+def test_args_xml_well_formed_and_complete():
+    root = ET.fromstring(paramdoc.render_args())
+    assert root.tag == "args"
+    params = {p.get("name") for p in root.iter("param")}
+    assert {f.name for f in dataclasses.fields(CameraConfig)} <= params
+    # enums become mapper widgets with option hints
+    cam_type = [p for p in root.iter("param")
+                if p.get("name") == "camera_type"][0]
+    assert cam_type.get("widget") == "mapper"
+    opts = [s.get("value") for s in cam_type.iter("string")]
+    assert "thin_lens" in opts and "polynomial_optics" in opts
+
+
+def test_ae_template_is_valid_python_with_all_controls():
+    src = paramdoc.render_ae_template()
+    tree = ast.parse(src)
+    assert any(isinstance(n, ast.ClassDef) for n in tree.body)
+    for f in dataclasses.fields(CameraConfig):
+        assert f'"{f.name}"' in src
+
+
+def test_mtd_has_ranges_and_descs():
+    mtd = paramdoc.render_mtd()
+    assert "[node pota_camera]" in mtd
+    assert "[attr fstop]" in mtd and "[attr lens_model]" in mtd
+    # ranged attrs carry min/max metadata
+    assert "softmax" in mtd
+
+
+def test_json_schema_round_trips():
+    schema = json.loads(paramdoc.render_json_schema())
+    assert set(schema) == {"CameraConfig", "RenderConfig"}
+    fstop = [r for r in schema["CameraConfig"] if r["name"] == "fstop"][0]
+    assert fstop["min"] == 0.0 and fstop["default"] == 0.0
