@@ -157,7 +157,7 @@ def bench_po_bidir_1080p(poly):
     from pota_tpu.render.renderer import (
         look_at, render_frame, render_sample_stream,
     )
-    from pota_tpu.render.splat import resolve_imager, splat_frame
+    from pota_tpu.render.splat import resolve_aovs, splat_frame
 
     cfg = CameraConfig(
         camera_type=CameraType.POLYNOMIAL_OPTICS, lens_model=FLAGSHIP,
@@ -170,10 +170,12 @@ def bench_po_bidir_1080p(poly):
                                intensity=40.0)
     m = look_at([0, 0, 0], [0, 0, -1])
 
-    f = jax.jit(
-        lambda _: render_frame(cfg, rc, scene, m, seed=0, po_lens=poly,
-                               po_state=state)[0]
-    )
+    def _e2e(_):
+        img, fb = render_frame(cfg, rc, scene, m, seed=0, po_lens=poly,
+                               po_state=state)
+        return img, resolve_aovs(rc, fb)
+
+    f = jax.jit(_e2e)
     dt = _timeit(f, 0, iters=3)
 
     # stage split: forward trace+shade vs splat+resolve
@@ -183,8 +185,10 @@ def bench_po_bidir_1080p(poly):
     )
     dt_fwd = _timeit(fwd, 0, iters=3)
     stream = jax.block_until_ready(fwd(0))
+    # resolve EVERY AOV plane (not just the beauty) so the closest-class
+    # winner machinery is part of the measured graph, not dead code
     spl = jax.jit(
-        lambda s: resolve_imager(
+        lambda s: resolve_aovs(
             rc, splat_frame(cfg, rc, scene, s, m, po_lens=poly,
                             po_state=state)
         )

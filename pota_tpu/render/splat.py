@@ -186,9 +186,18 @@ def splat_queue(budget, redistribute, rays_per_count: int, queue_size: int):
     offsets = jnp.cumsum(slots)                      # [N], ends; sum <= S
     starts = offsets - slots
     q = jnp.arange(queue_size, dtype=jnp.int32)
-    src = jnp.searchsorted(offsets, q, side="right").astype(jnp.int32)
+    # slot -> source: a mark-scatter + prefix-sum instead of searchsorted
+    # (16M binary searches = 16M x log2(N) random gathers, ~3s/frame on TPU;
+    # the cumsum form is three linear HBM passes).  Each source drops one
+    # mark at its start slot (+1 per source, so zero-slot sources advance
+    # the count without claiming a slot); out-of-queue marks (start==S when
+    # the queue is exactly full) are dropped by the scatter's OOB rule.
+    marks = jnp.zeros((queue_size,), jnp.int32).at[starts].add(
+        1, mode="drop"
+    )
+    src = jnp.cumsum(marks) - 1
     slot_on = q < offsets[-1]
-    src = jnp.minimum(src, n - 1)
+    src = jnp.clip(src, 0, n - 1)
     lane = jnp.where(slot_on, q - starts[src], 0)
     return src, lane, slot_on, slots
 
@@ -434,7 +443,7 @@ def splat_frame(cfg: CameraConfig, rc: RenderConfig, scene, stream,
         add_energy = jnp.zeros_like(lum)
 
     # ---- backward splats: flat queue of S slots --------------------------
-    src, lane, slot_on, _slots = splat_queue(
+    src, lane, slot_on, granted = splat_queue(
         budget, redistribute, rays_per_count, s_cap
     )
     counter = (lane // rays_per_count).astype(jnp.uint32)
@@ -517,9 +526,18 @@ def splat_frame(cfg: CameraConfig, rc: RenderConfig, scene, stream,
         slot_on & in_bounds & proj["ov_ok"] & ~occluded & redistribute[src]
     )
 
-    successes = jnp.zeros((n,), jnp.int32).at[src].add(
-        valid.astype(jnp.int32)
-    )
+    # per-source success count: each source's slots are CONTIGUOUS in the
+    # queue, so a prefix sum over the valid mask + two gathers at the range
+    # ends replaces a 16M-update scatter-add (ranges can be cut short by the
+    # queue end when the >=1-slot clamp overflows; clip handles that).
+    s_q = src.shape[0]
+    csum_valid = jnp.cumsum(valid.astype(jnp.int32))
+    offs_n = jnp.cumsum(granted)
+    starts_n = offs_n - granted
+    end_i = jnp.clip(offs_n, 0, s_q) - 1
+    start_i = jnp.clip(starts_n, 0, s_q) - 1
+    pick = lambda i: jnp.where(i >= 0, csum_valid[jnp.maximum(i, 0)], 0)
+    successes = pick(end_i) - pick(start_i)
     inv_success = jnp.where(successes > 0, 1.0 / successes, 0.0)
 
     # fall back to the source pixel when no slot succeeded
@@ -545,7 +563,6 @@ def splat_frame(cfg: CameraConfig, rc: RenderConfig, scene, stream,
     w_src = jnp.where(use_source, inv_density, 0.0)
 
     npix = xres_r * yres_r
-    s_q = src.shape[0]
     dtype = stream["rgba"].dtype
 
     # ---- writers: all queue slots + the source-pixel fallback path -------
@@ -565,11 +582,15 @@ def splat_frame(cfg: CameraConfig, rc: RenderConfig, scene, stream,
     # deterministic closest-filter winner per pixel: smallest depth, ties
     # broken by writer id (replaces the reference's tolerated write races,
     # ref src/lentil.h:832-845).  Skipped entirely when the AOV list has no
-    # closest-class planes (e.g. an RGBA-only training loss) — the winner
-    # selection is the most expensive part of the splat's transpose graph.
+    # closest-class planes (e.g. an RGBA-only training loss).  The winner's
+    # per-pixel values are then GATHERED from the sample stream (the winning
+    # writer id maps back to its source sample), so the closest-class AOVs
+    # cost two [S+N] scatter-mins + per-pixel gathers instead of a wide
+    # [S+N, 4k] scatter-add payload.
     has_closest = any(spec.filter == CLOSEST for spec in aovs)
     zmin_buf = None
-    is_winner = None
+    winner_sample = None
+    has_winner = None
     if has_closest:
         big = jnp.asarray(3e38, dtype)
         zmin_buf = jnp.full((npix,), big, dtype)
@@ -577,24 +598,34 @@ def splat_frame(cfg: CameraConfig, rc: RenderConfig, scene, stream,
             jnp.where(writer_valid, writer_depth, big)
         )
         is_min = writer_valid & (writer_depth <= zmin_buf[writer_pix])
+        imax = jnp.iinfo(jnp.int32).max
         wid = jnp.arange(s_q + n, dtype=jnp.int32)
-        winner_buf = jnp.full((npix,), jnp.iinfo(jnp.int32).max, jnp.int32)
+        winner_buf = jnp.full((npix,), imax, jnp.int32)
         winner_buf = winner_buf.at[writer_pix].min(
-            jnp.where(is_min, wid, jnp.iinfo(jnp.int32).max)
+            jnp.where(is_min, wid, imax)
         )
-        is_winner = is_min & (wid == winner_buf[writer_pix])
+        has_winner = winner_buf != imax
+        # writer -> source sample: queue slots carry src, fallback writers
+        # are the samples themselves
+        sample_of_writer = jnp.concatenate(
+            [src, jnp.arange(n, dtype=jnp.int32)]
+        )
+        winner_sample = sample_of_writer[
+            jnp.where(has_winner, winner_buf, 0)
+        ]
 
     buffers: dict = {}
     weight_buf = jnp.zeros((npix,), dtype)
 
-    # closest-class AOVs all share the winner selection: fuse their masked
-    # writes into ONE wide scatter (each scatter op on TPU pays its own
-    # serialization; k AOVs in one [*, 4k] payload cost ~1 scatter)
-    closest_specs = [s for s in aovs if s.filter == CLOSEST]
-    closest_payload = []
-
     for spec in aovs:
         values = aov_value_rgba(stream, spec)  # [N, 4]
+        if spec.filter == CLOSEST:
+            # winner-take by depth: gather the winning sample's value per
+            # pixel (both slot writers and fallback writers carry their
+            # source sample's AOV value, so the gather is exact)
+            px_vals = values[winner_sample] * has_winner[:, None].astype(dtype)
+            buffers[spec.name] = px_vals.reshape(yres_r, xres_r, 4)
+            continue
         slot_vals = values[src]  # [S, 4]
         if spec.name == "RGBA" and spec.filter == GAUSSIAN:
             # additional energy rides the redistributed RGBA splats only
@@ -625,24 +656,6 @@ def splat_frame(cfg: CameraConfig, rc: RenderConfig, scene, stream,
                 buf = buf.at[lin_splat].add(slot_vals * w_slot[..., None])
                 buf = buf.at[lin_source].add(values * w_src[:, None])
             buffers[spec.name] = buf.reshape(yres_r, xres_r, 4)
-        else:  # CLOSEST: winner-take write by depth
-            writer_vals = jnp.concatenate([slot_vals, values], 0)
-            if spec.name == "lentil_debug":
-                # debug only records nonzero counts (ref src/lentil.h:838-843)
-                nz = writer_vals[:, 0] != 0.0
-                take = is_winner & nz
-            else:
-                take = is_winner
-            closest_payload.append(writer_vals * take[:, None].astype(dtype))
-
-    if closest_payload:
-        wide = jnp.concatenate(closest_payload, -1)        # [S+N, 4k]
-        buf = jnp.zeros((npix, wide.shape[-1]), dtype)
-        buf = buf.at[writer_pix].add(wide)
-        for i, spec in enumerate(closest_specs):
-            buffers[spec.name] = buf[:, 4 * i: 4 * i + 4].reshape(
-                yres_r, xres_r, 4
-            )
 
     # ---- id-matte (cryptomatte capability, SURVEY.md C13): dense per-id
     # coverage accumulated with the same splat weight chain
