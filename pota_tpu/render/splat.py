@@ -636,9 +636,12 @@ def splat_frame(cfg: CameraConfig, rc: RenderConfig, scene, stream,
             )
 
         if spec.filter == GAUSSIAN:
+            # scatter COLUMN BY COLUMN: XLA TPU lowers scatter as
+            # sort+combine, and a 2-D [S, k] update payload is padded to
+            # (8, 128) tiles — a ~26x memory blow-up that makes one [S, 5]
+            # scatter ~40% slower than five [S] scatters (measured on v5e)
             if spec.name == "RGBA":
-                # the RGBA filter-weight plane rides the same scatter as a
-                # 5th payload column (one wide scatter instead of two)
+                # the RGBA filter-weight plane rides along as a 5th column
                 slot_contrib = jnp.concatenate(
                     [slot_vals * rgbw * w_slot[..., None],
                      w_slot[..., None]], -1,
@@ -646,15 +649,20 @@ def splat_frame(cfg: CameraConfig, rc: RenderConfig, scene, stream,
                 src_contrib = jnp.concatenate(
                     [values * w_src[:, None], w_src[:, None]], -1
                 )
-                buf5 = jnp.zeros((npix, 5), dtype)
-                buf5 = buf5.at[lin_splat].add(slot_contrib)
-                buf5 = buf5.at[lin_source].add(src_contrib)
-                weight_buf = buf5[:, 4]
-                buf = buf5[:, :4]
             else:
-                buf = jnp.zeros((npix, 4), dtype)
-                buf = buf.at[lin_splat].add(slot_vals * w_slot[..., None])
-                buf = buf.at[lin_source].add(values * w_src[:, None])
+                slot_contrib = slot_vals * w_slot[..., None]
+                src_contrib = values * w_src[:, None]
+            cols = []
+            for c in range(slot_contrib.shape[-1]):
+                col = jnp.zeros((npix,), dtype)
+                col = col.at[lin_splat].add(slot_contrib[:, c])
+                col = col.at[lin_source].add(src_contrib[:, c])
+                cols.append(col)
+            if spec.name == "RGBA":
+                weight_buf = cols[4]
+                buf = jnp.stack(cols[:4], -1)
+            else:
+                buf = jnp.stack(cols, -1)
             buffers[spec.name] = buf.reshape(yres_r, xres_r, 4)
 
     # ---- id-matte (cryptomatte capability, SURVEY.md C13): dense per-id
