@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from . import geometry as geo
+from ..utils.profiling import log
 from .polynomial import (
     PolyLens,
     inner_pupil_ok,
@@ -92,6 +93,48 @@ def focus_check(lens: PolyLens, sensor_shift: float, lam: float = 0.55):
     shifts = jnp.asarray([sensor_shift], jnp.float32)
     dist, ok = _axial_probe_distance(lens, shifts, lam)
     return float(dist[0]), bool(ok[0])
+
+
+# sensor-shift hard limit shared with the reference's camera_set_focus
+# clamp (src/lentil.h:1500-1516) and the logarithmic candidate sweep range
+SENSOR_SHIFT_LIMIT_MM = 45.0
+
+
+def camera_set_focus_infinity(lens: PolyLens, lam: float = 0.55) -> float:
+    """Sensor shift focusing parallel (infinity) light, by backward tracing.
+
+    TPU-native port of ``camera_set_focus_infinity`` (ref
+    src/lentil.h:1524-1563): light-trace a parallel ray at height
+    ``aperture_housing_radius * 0.1`` through the matching aperture point
+    back to the sensor; the shift that refocuses it onto the axis is
+    ``-sensor[k] / sensor[2+k]`` per component... the reference accumulates
+    ``sensor[k]/sensor[2+k]`` (its sensor plane sits at the shift where the
+    ray crosses x=y=0, signs folded into its conventions).  The reference's
+    4-iteration loop re-traces the identical ray (aperture is reset every
+    pass), so the average equals one evaluation — we trace once and average
+    over the two components, masking non-positive direction components
+    exactly like the reference's ``sensor(2+k) > 0`` guard.  NaN -> 0.0.
+    """
+    h = lens.aperture_housing_radius * 0.1
+    target = jnp.asarray([[0.0, h, _BIG]], jnp.float32)
+    ap = jnp.asarray([[0.0, h]], jnp.float32)
+    sensor5, _, _ = lt_sample_aperture(lens, target, ap, lam)
+    s = np.asarray(sensor5, np.float64)[0]
+    offs, cnt = 0.0, 0
+    for k in range(2):
+        if s[2 + k] > 0.0:
+            offs += s[k] / s[2 + k]
+            cnt += 1
+    if cnt == 0:
+        return 0.0
+    offset = offs / cnt
+    return float(offset) if np.isfinite(offset) else 0.0
+
+
+def focus_infinity_shift(lens: PolyLens, lam: float = 0.55) -> float:
+    """Infinity-focus sensor shift via the logarithmic forward search (the
+    reference's second infinity estimate, src/lentil.h:1621-1624)."""
+    return logarithmic_focus_search(lens, 999999999.0, lam)
 
 
 def calibrate_fstop(lens: PolyLens, fstop_target: float, lam: float = 0.55,
@@ -171,6 +214,36 @@ def setup_po_camera(lens: PolyLens, cfg) -> "POState":
         logarithmic_focus_search(lens, focus_distance, lam)
         + cfg.extra_sensor_shift
     )
+    # hard shift limit, ref camera_set_focus clamp (src/lentil.h:1500-1516)
+    if abs(sensor_shift) > SENSOR_SHIFT_LIMIT_MM:
+        log("CAMERA PO",
+            f"sensor shift {sensor_shift:.3f} mm exceeds limit "
+            f"+-{SENSOR_SHIFT_LIMIT_MM} mm; clamping")
+        sensor_shift = float(np.clip(sensor_shift, -SENSOR_SHIFT_LIMIT_MM,
+                                     SENSOR_SHIFT_LIMIT_MM))
+    # setup-time focus sanity checks (ref src/lentil.h:1617-1656): report
+    # both infinity estimates and verify the solved shift actually focuses
+    # where asked
+    shift_inf_log = focus_infinity_shift(lens, lam)
+    shift_inf_lt = camera_set_focus_infinity(lens, lam)
+    log("CAMERA PO",
+        f"{lens.name}: sensor_shift {sensor_shift:.4f} mm "
+        f"(infinity: log-search {shift_inf_log:.4f} mm, "
+        f"parallel light-trace {shift_inf_lt:.4f} mm)", once=True)
+    test_dist, focus_ok = focus_check(lens, sensor_shift, lam)
+    if not focus_ok:
+        log("CAMERA PO",
+            f"{lens.name}: focus check FAILED at shift "
+            f"{sensor_shift:.4f} mm — the lens system may be incorrect or "
+            "the sensor placed at a wrong distance "
+            "(ref src/lentil.h:1649-1655)")
+    elif focus_distance > 0.0:
+        rel_err = abs(test_dist - focus_distance) / focus_distance
+        if rel_err > 0.05 and focus_distance < 1e6:
+            log("CAMERA PO",
+                f"{lens.name}: focus test ray crosses at {test_dist:.1f} mm "
+                f"vs requested {focus_distance:.1f} mm "
+                f"({rel_err * 100.0:.1f}% off)")
     state = POState(
         aperture_radius=float(aperture_radius),
         sensor_shift=float(sensor_shift),

@@ -70,6 +70,7 @@ _DESCRIPTIONS = {
     "filter_width": "Gaussian filter width for the passthrough path.",
     "enable_redistribution": "Bidirectional bokeh redistribution on/off.",
     "enable_id_matte": "Accumulate cryptomatte-style ranked object-id coverage.",
+    "enforce_aa_gate": "Disable redistribution below the final AA level (the reference's inv_density > 0.2 preview-pass gate).",
 }
 
 
@@ -235,6 +236,117 @@ def render_ae_template(node_name: str = "pota_camera") -> str:
     return "\n".join(out)
 
 
+# C4D UI groups: the reference's UI DSL organizes parameters into tabs/
+# groups (src/lentil_camera.ui); our flat config source gets an equivalent
+# grouping here so the .res layout is usable.
+_C4D_GROUPS = (
+    ("Lens", ("camera_type", "units", "sensor_width", "enable_dof", "fstop",
+              "focus_distance", "aperture_blades", "exposure", "lens_model",
+              "wavelength", "extra_sensor_shift", "focal_length")),
+    ("Aberrations", ("optical_vignetting_distance", "optical_vignetting_radius",
+                     "abb_spherical", "abb_distortion", "abb_coma",
+                     "abb_chromatic", "abb_chromatic_type")),
+    ("Bokeh", ("circle_to_square", "bokeh_anamorphic", "bokeh_enable_image",
+               "bokeh_image_path")),
+    ("Bidirectional", ("vignetting_retries", "bidir_sample_mult",
+                       "bidir_add_energy",
+                       "bidir_add_energy_minimum_luminance",
+                       "bidir_add_energy_transition",
+                       "enable_bidir_transmission", "enable_skydome")),
+    ("Advanced", None),  # catch-all for the remaining params
+)
+
+
+def c4d_param_id(node_name: str, param_name: str) -> int:
+    """C4DtoA parameter id: djb2 hash of ``node.param`` folded into the
+    positive signed-int32 range — the id convention C4DtoA resource files
+    require (ref uigen.py GenerateC4DtoAId, src/uigen.py:569-582)."""
+    unique = f"{node_name}.{param_name}"
+    pid = 5381
+    for c in unique:
+        pid = ((pid << 5) + pid) + ord(c)
+    pid &= 0xFFFFFFFF
+    if pid > 2147483647:
+        pid = 2 * 2147483647 - pid + 2
+    return pid
+
+
+def _c4d_groups(rows):
+    """Assign every parameter row to a C4D group (stable order)."""
+    by_name = {r["name"]: r for r in rows}
+    assigned = set()
+    groups = []
+    for gname, names in _C4D_GROUPS:
+        if names is None:
+            members = [r for r in rows if r["name"] not in assigned]
+        else:
+            members = [by_name[n] for n in names if n in by_name]
+            assigned.update(r["name"] for r in members)
+        if members:
+            groups.append((gname, members))
+    return groups
+
+
+def render_c4d(node_name: str = "pota_camera") -> dict:
+    """C4DtoA resource files (ref uigen.py WriteC4DtoAResourceFiles,
+    src/uigen.py:772-795): the ``aitag_<node>.h`` id header, the
+    ``aitag_<node>.res`` widget layout, and the ``aitag_<node>.str`` string
+    table.  Returns {relative_path: text}."""
+    rows = param_table(CameraConfig)
+    groups = _c4d_groups(rows)
+    up = node_name.upper()
+
+    def pname(r):
+        return r["name"].upper()
+
+    # --- .h: enum of group + parameter ids -------------------------------
+    h = [f"#ifndef _aitag_{node_name}_h_", f"#define _aitag_{node_name}_h_",
+         "", "enum", "{", f"\tC4DAI_{up}_MAIN_GRP = 2001,"]
+    for gname, _ in groups:
+        h.append(f"\tC4DAI_{up}_{gname.upper().replace(' ', '_')}_GRP,")
+    h.append("")
+    for gname, members in groups:
+        for r in members:
+            h.append(
+                f"\tC4DAIP_{up}_{pname(r)} = "
+                f"{c4d_param_id(node_name, r['name'])},"
+            )
+    h += ["};", "", "#endif", ""]
+
+    # --- .res: container layout ------------------------------------------
+    res = [f"CONTAINER AITAG_{up}", "{", f"\tNAME aitag_{node_name};", "",
+           "\tINCLUDE GVbase;", "", f"\tGROUP C4DAI_{up}_MAIN_GRP", "\t{",
+           "\t\tDEFAULT 1;", ""]
+    for gname, members in groups:
+        res.append(f"\t\tGROUP C4DAI_{up}_{gname.upper().replace(' ', '_')}_GRP")
+        res.append("\t\t{")
+        for r in members:
+            res.append(f"\t\t\tAIPARAM C4DAIP_{up}_{pname(r)} {{}}")
+        res.append("\t\t}")
+        res.append("")
+    res += ["\t}", "}", ""]
+
+    # --- .str: labels ----------------------------------------------------
+    s = [f"STRINGTABLE aitag_{node_name}", "{",
+         f'\taitag_{node_name}   "Arnold {node_name} node";', "",
+         f'\tC4DAI_{up}_MAIN_GRP   "Main";']
+    for gname, _ in groups:
+        s.append(
+            f'\tC4DAI_{up}_{gname.upper().replace(" ", "_")}_GRP   "{gname}";'
+        )
+    s.append("")
+    for gname, members in groups:
+        for r in members:
+            s.append(f'\tC4DAIP_{up}_{pname(r)}   "{_label(r["name"])}";')
+    s += ["}", ""]
+
+    return {
+        f"res/description/aitag_{node_name}.h": "\n".join(h),
+        f"res/description/aitag_{node_name}.res": "\n".join(res),
+        f"res/strings_us/description/aitag_{node_name}.str": "\n".join(s),
+    }
+
+
 def write_all(docs_dir: str = "docs") -> list[str]:
     import os
 
@@ -248,6 +360,13 @@ def write_all(docs_dir: str = "docs") -> list[str]:
         (os.path.join(dcc, "pota_camera.args"), render_args()),
         (os.path.join(dcc, "pota_camera_ae_template.py"), render_ae_template()),
     ):
+        with open(path, "w") as f:
+            f.write(text)
+        written.append(path)
+    c4d_dir = os.path.join(dcc, "c4d")
+    for rel, text in render_c4d().items():
+        path = os.path.join(c4d_dir, rel)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
         with open(path, "w") as f:
             f.write(text)
         written.append(path)

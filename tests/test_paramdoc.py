@@ -9,17 +9,18 @@ import dataclasses
 import json
 import xml.etree.ElementTree as ET
 
-from pota_tpu.config import CameraConfig
+from pota_tpu.config import CameraConfig, RenderConfig
 from pota_tpu.utils import paramdoc
 
 
 def test_param_table_covers_every_field():
-    rows = paramdoc.param_table(CameraConfig)
-    names = {r["name"] for r in rows}
-    assert names == {f.name for f in dataclasses.fields(CameraConfig)}
-    # every field documented
-    missing = [r["name"] for r in rows if not r["description"]]
-    assert not missing, f"undocumented params: {missing}"
+    for cls in (CameraConfig, RenderConfig):
+        rows = paramdoc.param_table(cls)
+        names = {r["name"] for r in rows}
+        assert names == {f.name for f in dataclasses.fields(cls)}
+        # every field documented
+        missing = [r["name"] for r in rows if not r["description"]]
+        assert not missing, f"{cls.__name__} undocumented params: {missing}"
 
 
 def test_args_xml_well_formed_and_complete():
@@ -49,6 +50,34 @@ def test_mtd_has_ranges_and_descs():
     assert "[attr fstop]" in mtd and "[attr lens_model]" in mtd
     # ranged attrs carry min/max metadata
     assert "softmax" in mtd
+
+
+def test_c4d_resources_complete_and_consistent():
+    """C4DtoA resource emission (ref uigen.py WriteC4DtoAResourceFiles,
+    src/uigen.py:610-795): the .h id enum, .res layout and .str labels must
+    all cover every camera parameter with consistent symbols."""
+    files = paramdoc.render_c4d()
+    assert set(files) == {
+        "res/description/aitag_pota_camera.h",
+        "res/description/aitag_pota_camera.res",
+        "res/strings_us/description/aitag_pota_camera.str",
+    }
+    h = files["res/description/aitag_pota_camera.h"]
+    res = files["res/description/aitag_pota_camera.res"]
+    st = files["res/strings_us/description/aitag_pota_camera.str"]
+    for f in dataclasses.fields(CameraConfig):
+        sym = f"C4DAIP_POTA_CAMERA_{f.name.upper()}"
+        assert sym in h and sym in res and sym in st, f.name
+    # ids follow the C4DtoA djb2 convention and fit signed int32
+    ids = [int(line.split("=")[1].rstrip(",").strip())
+           for line in h.splitlines() if "C4DAIP_" in line and "=" in line]
+    assert len(ids) == len(dataclasses.fields(CameraConfig))
+    assert all(0 < i <= 2147483647 for i in ids)
+    assert len(set(ids)) == len(ids), "hash collision in parameter ids"
+    assert paramdoc.c4d_param_id("pota_camera", "fstop") in ids
+    # balanced braces in the layout, stringtable has the node label
+    assert res.count("{") == res.count("}")
+    assert 'aitag_pota_camera   "Arnold pota_camera node";' in st
 
 
 def test_json_schema_round_trips():
