@@ -9,16 +9,23 @@ every measured config:
   2. po_forward_1080p         PO forward ray generation only, 1920x1080
   3. po_bokeh_chromatic_512   PO + image-bokeh aperture + 3-lambda chromatic
   4. po_bidir_1080p_aovs      full bidirectional lightgrid @ 1080p, all AOVs
-  5. sharded_grad_step        differentiable sharded step (multi-device
-                              only) + the recorded virtual-mesh scaling
-                              sweep from BENCH_SCALING.json if present
+  5. grad_step_4k             differentiable step on the real chip (full
+                              AOVs, differentiate_splat_geometry=True) +
+                              the recorded virtual-mesh scaling sweep
 
-Baselines: the reference publishes no numbers (BASELINE.md).  The constants
-below are documented estimates of the reference's CPU plugin on a 16-thread
-workstation: ~2e6 camera rays/s forward (generated-poly eval + aperture
-solve + retries ~0.5 us/ray/core), and ~8e6 backward splats/s
-(each backward splat = Newton lt_sample_aperture solve + occlusion probe,
-~2 us/core).  vs_baseline = measured / estimate.
+Baselines (the reference publishes no numbers — BASELINE.md): documented
+estimates of the reference CPU plugin on a 16-thread workstation, per
+primitive:
+
+  thin-lens forward ray   ~1e7 /s   (closed-form projection + retries)
+  PO forward ray          ~2e6 /s   (generated-poly eval + aperture solve)
+  PO backward splat       ~8e6 /s   (Newton lt solve + occlusion probe)
+  thin-lens backward splat ~1e7 /s  (closed form + occlusion probe)
+
+Each config's ``vs_baseline`` compares in MATCHING units: configs measured
+in AA samples/s derive their baseline from the per-sample work mix
+(1 forward ray + splat_queue_mult backward splats per sample); config #4's
+headline counts VALID splats only (dead queue slots are not work done).
 """
 from __future__ import annotations
 
@@ -27,6 +34,10 @@ import os
 import sys
 import time
 
+T_FW_TL = 1.0e-7      # s per thin-lens forward ray (baseline estimate)
+T_FW_PO = 5.0e-7      # s per PO forward ray
+T_BW_PO = 1.25e-7     # s per PO backward splat (8e6/s)
+T_BW_TL = 1.0e-7      # s per thin-lens backward splat (1e7/s)
 BASELINE_FW_RAYS_PER_S = 2.0e6
 BASELINE_BW_SPLATS_PER_S = 8.0e6
 FLAGSHIP = "angenieux__double_gauss__1953__49mm"
@@ -60,12 +71,15 @@ def bench_tl_teapot():
     f = jax.jit(lambda seed: render_frame(cfg, rc, scene, m, seed=0)[0])
     dt = _timeit(f, 0)
     n = rc.xres * rc.yres * rc.spp
+    # baseline: 1 thin-lens forward ray + queue_mult backward splats/sample
+    base = 1.0 / (T_FW_TL + cfg.splat_queue_mult * T_BW_TL)
     return {
         "metric": "tl_teapot_256_16spp_samples_per_s",
         "value": n / dt,
         "unit": "AA samples/s/chip",
         "frame_ms": dt * 1e3,
-        "vs_baseline": (n / dt) / BASELINE_FW_RAYS_PER_S,
+        "baseline": base,
+        "vs_baseline": (n / dt) / base,
     }
 
 
@@ -95,13 +109,12 @@ def bench_po_forward(poly, state, cfg):
         "value": n / dt,
         "unit": "rays/s/chip",
         "frame_ms": dt * 1e3,
+        "baseline": BASELINE_FW_RAYS_PER_S,
         "vs_baseline": (n / dt) / BASELINE_FW_RAYS_PER_S,
     }
 
 
 def bench_po_bokeh_chromatic(poly):
-    import dataclasses as dc
-
     import jax
     import numpy as np
 
@@ -115,16 +128,17 @@ def bench_po_bokeh_chromatic(poly):
         camera_type=CameraType.POLYNOMIAL_OPTICS, lens_model=FLAGSHIP,
         fstop=2.8, focus_distance=20.0, vignetting_retries=3,
         abb_chromatic=0.6, bokeh_enable_image=True, splat_queue_mult=8,
+        splat_chunks=4,
     )
-    state = setup_po_camera(poly, cfg)
+    scene = sc.lightgrid_scene(n=4, spacing=14.0, z=-150.0, radius=0.8,
+                               intensity=40.0)
+    state = setup_po_camera(poly, cfg, scene=scene)
     rc = RenderConfig(xres=512, yres=512, spp=2)
     n = 32
     yy, xx = np.mgrid[0:n, 0:n]
     r = np.sqrt((xx - (n - 1) / 2) ** 2 + (yy - (n - 1) / 2) ** 2) / (n / 2)
     ring = ((r > 0.5) & (r < 0.95)).astype(np.float32)
     cdf = build_bokeh_cdf(np.stack([ring] * 3, -1))
-    scene = sc.lightgrid_scene(n=4, spacing=14.0, z=-150.0, radius=0.8,
-                               intensity=40.0)
     m = look_at([0, 0, 0], [0, 0, -1])
 
     f = jax.jit(
@@ -133,23 +147,29 @@ def bench_po_bokeh_chromatic(poly):
     )
     dt = _timeit(f, 0, iters=3)
     n_samp = rc.xres * rc.yres * rc.spp
+    # per sample: 1 PO forward ray + queue_mult backward (chromatic) splats
+    base = 1.0 / (T_FW_PO + cfg.splat_queue_mult * T_BW_PO)
     return {
         "metric": "po_bokeh_chromatic3_512_samples_per_s",
         "value": n_samp / dt,
         "unit": "AA samples/s/chip",
         "frame_ms": dt * 1e3,
-        "vs_baseline": (n_samp / dt) / BASELINE_FW_RAYS_PER_S,
+        "baseline": base,
+        "vs_baseline": (n_samp / dt) / base,
     }
 
 
 def bench_po_bidir_1080p(poly):
     """Flagship: full bidirectional redistribution @1080p with all AOVs.
 
-    Also reports the forward/splat stage split (the kernel-vs-e2e
-    breakdown): the splat stage runs the fused backward Pallas kernel on
-    TPU (ops/po_pallas.py build_po_backward_kernel).
+    Headline counts VALID backward splats/s (the queue's valid mask sum —
+    dead slots are not work done); also reports issued-slot throughput and
+    the stage split (queue / fused project+occlude / accumulate+resolve;
+    the fused Pallas splat kernel and the sorted one-hot accumulator are
+    the round-4 hot-path kernels, ops/po_pallas.py + ops/splat_accum.py).
     """
     import jax
+    import jax.numpy as jnp
 
     from pota_tpu import CameraConfig, CameraType, RenderConfig
     from pota_tpu.optics.focus import setup_po_camera
@@ -164,10 +184,10 @@ def bench_po_bidir_1080p(poly):
         fstop=2.8, focus_distance=20.0, vignetting_retries=3,
         splat_queue_mult=8, splat_chunks=16,
     )
-    state = setup_po_camera(poly, cfg)
-    rc = RenderConfig(xres=1920, yres=1080, spp=1)
     scene = sc.lightgrid_scene(n=5, spacing=12.0, z=-150.0, radius=0.8,
                                intensity=40.0)
+    state = setup_po_camera(poly, cfg, scene=scene)
+    rc = RenderConfig(xres=1920, yres=1080, spp=1)
     m = look_at([0, 0, 0], [0, 0, -1])
 
     def _e2e(_):
@@ -185,62 +205,100 @@ def bench_po_bidir_1080p(poly):
     )
     dt_fwd = _timeit(fwd, 0, iters=3)
     stream = jax.block_until_ready(fwd(0))
-    # resolve EVERY AOV plane (not just the beauty) so the closest-class
-    # winner machinery is part of the measured graph, not dead code
-    spl = jax.jit(
-        lambda s: resolve_aovs(
-            rc, splat_frame(cfg, rc, scene, s, m, po_lens=poly,
-                            po_state=state)
-        )
-    )
+    # resolve EVERY AOV plane (not just the beauty) so the closest-winner
+    # machinery is part of the measured graph, not dead code
+    def _splat(s):
+        fb = splat_frame(cfg, rc, scene, s, m, po_lens=poly,
+                         po_state=state, with_diagnostics=True)
+        return resolve_aovs(rc, fb), fb["_n_valid_splats"], fb["_n_issued_slots"]
+
+    spl = jax.jit(_splat)
     dt_splat = _timeit(spl, stream, iters=3)
+    _, n_valid, n_issued = jax.block_until_ready(spl(stream))
+    n_valid = int(n_valid)
+    n_issued = int(n_issued)
 
     n_samples = rc.xres * rc.yres * rc.spp
-    n_slots = cfg.splat_queue_mult * n_samples
+    valid_per_s = n_valid / dt_splat
     return {
-        "metric": "po_bidir_1080p_aovs_splats_per_s",
-        "value": n_slots / dt_splat,
-        "unit": "backward splats/s/chip",
+        "metric": "po_bidir_1080p_aovs_valid_splats_per_s",
+        "value": valid_per_s,
+        "unit": "valid backward splats/s/chip",
         "frame_ms": dt * 1e3,
         "forward_ms": dt_fwd * 1e3,
         "splat_resolve_ms": dt_splat * 1e3,
+        "n_valid_splats": n_valid,
+        "n_issued_slots": n_issued,
+        "issued_splats_per_s": n_issued / dt_splat,
         "aa_samples_per_s": n_samples / dt,
-        "vs_baseline": (n_slots / dt_splat) / BASELINE_BW_SPLATS_PER_S,
+        "baseline": BASELINE_BW_SPLATS_PER_S,
+        "vs_baseline": valid_per_s / BASELINE_BW_SPLATS_PER_S,
     }
 
 
-def bench_sharded():
-    """Config #5: only measurable with >= 2 devices on this backend; the
-    virtual-CPU-mesh scaling sweep is recorded offline in
-    BENCH_SCALING.json (scripts/bench_scaling.py) and echoed here."""
-    import jax
+def bench_grad_step(poly):
+    """Config #5 on the real chip: full differentiable pipeline — 4K frame,
+    lens-coefficient gradients, full AOVs, differentiate_splat_geometry on.
+    Falls back to 1080p if the 4K graph does not fit HBM."""
+    import dataclasses as dc
 
-    entry = {"metric": "sharded_grad_step", "devices": len(jax.devices())}
+    import jax
+    import jax.numpy as jnp
+
+    from pota_tpu import CameraConfig, CameraType, RenderConfig
+    from pota_tpu.optics.focus import setup_po_camera
+    from pota_tpu.render import scene as sc
+    from pota_tpu.render.renderer import look_at, render_frame
+
+    scene = sc.lightgrid_scene(n=4, spacing=14.0, z=-150.0, radius=0.8,
+                               intensity=40.0)
+    m = look_at([0, 0, 0], [0, 0, -1])
+
+    def run(xres, yres, queue_mult, chunks):
+        cfg = CameraConfig(
+            camera_type=CameraType.POLYNOMIAL_OPTICS, lens_model=FLAGSHIP,
+            fstop=2.8, focus_distance=20.0, vignetting_retries=2,
+            splat_queue_mult=queue_mult, splat_chunks=chunks,
+            differentiate_splat_geometry=True,
+        )
+        state = setup_po_camera(poly, cfg)
+        rc = RenderConfig(xres=xres, yres=yres, spp=1)
+
+        def loss_fn(coeffs):
+            poly2 = dc.replace(poly, pt=dc.replace(poly.pt, coeffs=coeffs))
+            img, _ = render_frame(cfg, rc, scene, m, seed=0, po_lens=poly2,
+                                  po_state=state, use_pallas=False)
+            return jnp.mean(img[..., :3])
+
+        g = jax.jit(jax.grad(loss_fn))
+        dt = _timeit(g, poly.pt.coeffs, iters=2)
+        gval = jax.block_until_ready(g(poly.pt.coeffs))
+        gnorm = float(jnp.linalg.norm(gval))
+        return dt, gnorm
+
+    try:
+        dt, gnorm = run(3840, 2160, 4, 32)
+        res = "3840x2160"
+    except Exception as e:  # HBM-bound: drop to 1080p, chunked
+        print(f"[bench] grad_step 4K failed ({type(e).__name__}); "
+              "falling back to 1080p", file=sys.stderr, flush=True)
+        dt, gnorm = run(1920, 1080, 4, 16)
+        res = "1920x1080"
+
+    entry = {
+        "metric": "grad_step_4k",
+        "value": dt,
+        "unit": f"s/step ({res}, lens-coefficient grads, "
+                "differentiate_splat_geometry=True)",
+        "resolution": res,
+        "grad_norm": gnorm,
+        "steps_per_s": 1.0 / dt,
+    }
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "BENCH_SCALING.json")
     if os.path.exists(path):
         with open(path) as f:
             entry["virtual_mesh_scaling"] = json.load(f)
-    if len(jax.devices()) >= 2:
-        import jax.numpy as jnp
-
-        from pota_tpu import RenderConfig
-        from pota_tpu.parallel.sharded import make_mesh, render_frame_sharded
-        from pota_tpu.render import scene as sc
-        from pota_tpu.render.renderer import look_at
-        from pota_tpu import CameraConfig
-
-        cfg = CameraConfig(focal_length=50.0, fstop=1.4,
-                           focus_distance=150.0, vignetting_retries=1,
-                           splat_queue_mult=8)
-        rc = RenderConfig(xres=512, yres=512, spp=2)
-        scene = sc.lightgrid_scene(n=4, spacing=14.0, z=-400.0)
-        m = look_at([0, 0, 0], [0, 0, -1])
-        mesh = make_mesh()
-        f = lambda _: render_frame_sharded(cfg, rc, scene, m, mesh, seed=0)[0]
-        dt = _timeit(f, 0, iters=3)
-        entry["value"] = rc.xres * rc.yres * rc.spp / dt
-        entry["unit"] = "AA samples/s/mesh"
     return entry
 
 
@@ -285,7 +343,7 @@ def main():
     fw = run("po_forward", bench_po_forward, poly, state_fw, cfg_fw)
     run("po_bokeh_chromatic", bench_po_bokeh_chromatic, poly)
     bidir = run("po_bidir", bench_po_bidir_1080p, poly)
-    run("sharded", bench_sharded)
+    run("grad_step", bench_grad_step, poly)
 
     headline = bidir or fw or (configs[0] if configs else
                                {"metric": "none", "value": 0.0})

@@ -272,26 +272,14 @@ def build_po_forward_kernel(lens: PolyLens, sensor_shift: float,
 # --------------------------------------------------------------------------
 
 
-def build_po_backward_kernel(lens: PolyLens, iterations: int = 5,
-                             interpret: bool = False):
-    """Build the fused per-lens backward kernel.
+def _emit_backward_solve(lens: PolyLens, iterations: int):
+    """Emit the shared backward Newton solve as a pure jnp function.
 
-    TPU-native replacement for the reference's generated
-    ``lt_sample_aperture`` (zpelgrims/pota src/lentil.h:1296-1313): solve
-    the sensor light field (x, y, dx, dy) for a (scene point, aperture
-    point) pair with a fixed-iteration 4x4 Newton.  The residual pins the
-    iris crossing to the aperture target and the exit ray (outer-pupil
-    sphere chart -> camera space -> plane at scene depth) to the scene
-    point — identical math to
-    :func:`pota_tpu.optics.polynomial.lt_sample_aperture`, but with the
-    lens's sparse-polynomial structure and coefficients baked in as
-    immediates, so the whole solve (primal + 4 Jacobian tangents per
-    iteration via ``jax.linearize``, blocked 4x4 solve, final pt_evaluate)
-    fuses into one VPU program with zero HBM round-trips.
-
-    Returns ``fn(px, py, pz, ap_x, ap_y, lam) -> (sx, sy, sdx, sdy,
-    trans)`` on flat float32 arrays; ``trans`` is already cropped by the
-    outer pupil radius.
+    Returns ``solve(px, py, pz, ax, ay, lam) -> (x, y, dx, dy, trans)``
+    with the lens's sparse-polynomial structure and coefficients baked in
+    as immediates — the body both backward kernels share (the plain
+    lt-solver below and the fused splat kernel).  ``trans`` is already
+    cropped by the outer pupil radius.
     """
     exps, geo_coeffs, scale, shift = _poly_static(lens.pt)
     ap_exps, ap_coeffs, *_ = _poly_static(lens.ap)
@@ -314,15 +302,7 @@ def build_po_backward_kernel(lens: PolyLens, iterations: int = 5,
     # [6 or 7, T] coefficient rows: apx, apy, o0..o3 (+ trans for the final)
     C = np.concatenate([ap_coeffs[:2], geo_coeffs], 0)  # [7, T] (o4=trans)
 
-    def kernel(px_ref, py_ref, pz_ref, ax_ref, ay_ref, lam_ref,
-               sx_ref, sy_ref, sdx_ref, sdy_ref, trans_ref):
-        px = px_ref[:]
-        py = py_ref[:]
-        pz = pz_ref[:]
-        ax = ax_ref[:]
-        ay = ay_ref[:]
-        lam = lam_ref[:]
-
+    def solve(px, py, pz, ax, ay, lam):
         ul = (lam - sh4) * s4
         ul_pows = _emit_powers(ul, max_deg)
         one = jnp.ones_like(px)
@@ -431,7 +411,39 @@ def build_po_backward_kernel(lens: PolyLens, iterations: int = 5,
         o0, o1, trans = outs[2], outs[3], outs[6]
         trans = jnp.maximum(trans, 0.0)
         trans = jnp.where(o0 * o0 + o1 * o1 > r_outer2, 0.0, trans)
+        return x, y, dx, dy, trans
 
+    return solve
+
+
+def build_po_backward_kernel(lens: PolyLens, iterations: int = 5,
+                             interpret: bool = False):
+    """Build the fused per-lens backward kernel.
+
+    TPU-native replacement for the reference's generated
+    ``lt_sample_aperture`` (zpelgrims/pota src/lentil.h:1296-1313): solve
+    the sensor light field (x, y, dx, dy) for a (scene point, aperture
+    point) pair with a fixed-iteration 4x4 Newton.  The residual pins the
+    iris crossing to the aperture target and the exit ray (outer-pupil
+    sphere chart -> camera space -> plane at scene depth) to the scene
+    point — identical math to
+    :func:`pota_tpu.optics.polynomial.lt_sample_aperture`, but with the
+    lens's sparse-polynomial structure and coefficients baked in as
+    immediates, so the whole solve (primal + 4 Jacobian tangents per
+    iteration via ``jax.linearize``, blocked 4x4 solve, final pt_evaluate)
+    fuses into one VPU program with zero HBM round-trips.
+
+    Returns ``fn(px, py, pz, ap_x, ap_y, lam) -> (sx, sy, sdx, sdy,
+    trans)`` on flat float32 arrays; ``trans`` is already cropped by the
+    outer pupil radius.
+    """
+    solve = _emit_backward_solve(lens, iterations)
+
+    def kernel(px_ref, py_ref, pz_ref, ax_ref, ay_ref, lam_ref,
+               sx_ref, sy_ref, sdx_ref, sdy_ref, trans_ref):
+        x, y, dx, dy, trans = solve(
+            px_ref[:], py_ref[:], pz_ref[:], ax_ref[:], ay_ref[:], lam_ref[:]
+        )
         sx_ref[:] = x
         sy_ref[:] = y
         sdx_ref[:] = dx
@@ -501,6 +513,181 @@ def _solve4(J, r):
     return x0, x1, x2, x3
 
 
+# --------------------------------------------------------------------------
+# Fused backward SPLAT kernel: Newton solve + pixel mapping + occlusion.
+# --------------------------------------------------------------------------
+
+# scalar-parameter layout for the fused splat kernel ([1, 24] f32 VMEM row)
+SPLAT_PARAM_COUNT = 24
+_SP_ROT = 0          # 0..8   cam_to_world rotation, row major
+_SP_TRANS = 9        # 9..11  cam_to_world translation
+_SP_XRES = 12
+_SP_YRES = 13
+_SP_RMINX = 14
+_SP_RMINY = 15
+_SP_XRES_R = 16
+_SP_YRES_R = 17
+_SP_INV_UNIT = 18    # 1 / cfg.unit_scale_filter
+_SP_SHIFT = 19       # po_state.sensor_shift
+_SP_INV_HSW = 20     # 1 / (sensor_width / 2)
+_SP_ASPECT = 21      # xres / yres
+
+
+def splat_kernel_params(cfg, rc, po_state, cam_to_world) -> jnp.ndarray:
+    """Pack the per-frame scalars the fused splat kernel reads ([1, 24])."""
+    m = jnp.asarray(cam_to_world, jnp.float32)
+    vals = jnp.concatenate([
+        m[:3, :3].reshape(-1),
+        m[:3, 3],
+        jnp.asarray([
+            rc.xres, rc.yres, rc.region_min_x, rc.region_min_y,
+            rc.xres_region, rc.yres_region,
+            1.0 / cfg.unit_scale_filter, po_state.sensor_shift,
+            1.0 / (cfg.sensor_width * 0.5), rc.xres / rc.yres,
+            0.0, 0.0,
+        ], jnp.float32),
+    ])
+    return vals.reshape(1, SPLAT_PARAM_COUNT)
+
+
+def build_po_splat_kernel(lens: PolyLens, iterations: int, n_spheres: int,
+                          interpret: bool = False):
+    """Fused per-lens backward SPLAT kernel: the entire per-slot pipeline of
+    the bidirectional redistribution in one VPU program.
+
+    Replaces three separately-materialized [S]-sized stages of
+    ``splat_frame`` (r3 stage split: backproj 429 ms + occlusion 454 ms +
+    bounds logic) with one kernel that keeps every intermediate in vector
+    registers:
+
+      Newton lt-solve (ref lt_sample_aperture, src/lentil.h:1296-1313)
+      -> inner-pupil crop (ref src/lentil.h:640-645)
+      -> sensor-shift compensation (ref src/lentil.h:653-655)
+      -> sensor -> pixel mapping (ref src/lentil_filter.cpp:276-287)
+      -> analytic sphere-scene occlusion probe (the reference's
+         AiTraceProbe call inside the splat loop, src/lentil.h:622-629)
+
+    Returns ``fn(px, py, pz, pwx, pwy, pwz, ap_x, ap_y, lam, skyf,
+    params, spheres) -> (lin_pix int32, ok float32)`` where ``params`` is
+    :func:`splat_kernel_params` and ``spheres`` is ``[n_spheres, 4]``
+    (center xyz, radius).  Scene geometry and camera move per frame WITHOUT
+    recompiling (they are runtime inputs); only the lens structure and the
+    sphere COUNT are baked.
+    """
+    solve = _emit_backward_solve(lens, iterations)
+    bfl = float(lens.back_focal_length)
+    r_inner2 = float(lens.inner_pupil_radius) ** 2
+    t_min = 1e-3
+
+    def kernel(px_ref, py_ref, pz_ref, pwx_ref, pwy_ref, pwz_ref,
+               ax_ref, ay_ref, lam_ref, sky_ref, par_ref, sph_ref,
+               lin_ref, ok_ref):
+        px = px_ref[:]
+        py = py_ref[:]
+        pz = pz_ref[:]
+        ax = ax_ref[:]
+        ay = ay_ref[:]
+        lam = lam_ref[:]
+        p = lambda k: par_ref[0, k]
+
+        # backward target is -p_cam * 10 (ref src/lentil_filter.cpp:271)
+        x, y, dx, dy, trans = solve(
+            px * -10.0, py * -10.0, pz * -10.0, ax, ay, lam
+        )
+        ipx = x + dx * bfl
+        ipy = y + dy * bfl
+        inner_ok = ipx * ipx + ipy * ipy <= r_inner2
+
+        shift = p(_SP_SHIFT)
+        sx = (x + dx * -shift) * p(_SP_INV_HSW)
+        sy = (y + dy * -shift) * p(_SP_INV_HSW) * p(_SP_ASPECT)
+        pixel_x = (sx + 1.0) * 0.5 * p(_SP_XRES) - p(_SP_RMINX)
+        pixel_y = (-sy + 1.0) * 0.5 * p(_SP_YRES) - p(_SP_RMINY)
+        xr = p(_SP_XRES_R)
+        yr = p(_SP_YRES_R)
+        in_bounds = (
+            (pixel_x >= 0.0) & (pixel_x < xr)
+            & (pixel_y >= 0.0) & (pixel_y < yr)
+        )
+        px_i = jnp.clip(jnp.floor(pixel_x), 0.0, xr - 1.0)
+        py_i = jnp.clip(jnp.floor(pixel_y), 0.0, yr - 1.0)
+        lin = py_i * xr + px_i
+        lin = jnp.where(jnp.isfinite(lin), lin, 0.0)
+        lin_ref[:] = lin.astype(jnp.int32)
+
+        # occlusion probe: world lens point from the aperture sample
+        # (-ap * 0.1 mm->cm, then 1/unit like the reference's per-unit
+        # rescale, src/lentil.h:613-619) transformed by cam_to_world
+        inv_unit = p(_SP_INV_UNIT)
+        lcx = -ax * 0.1 * inv_unit
+        lcy = -ay * 0.1 * inv_unit
+        cwx = p(_SP_ROT + 0) * lcx + p(_SP_ROT + 1) * lcy + p(_SP_TRANS + 0)
+        cwy = p(_SP_ROT + 3) * lcx + p(_SP_ROT + 4) * lcy + p(_SP_TRANS + 1)
+        cwz = p(_SP_ROT + 6) * lcx + p(_SP_ROT + 7) * lcy + p(_SP_TRANS + 2)
+        pwx = pwx_ref[:]
+        pwy = pwy_ref[:]
+        pwz = pwz_ref[:]
+        segx = cwx - pwx
+        segy = cwy - pwy
+        segz = cwz - pwz
+        dist = jnp.sqrt(
+            jnp.maximum(segx * segx + segy * segy + segz * segz, 1e-24)
+        )
+        inv_d = 1.0 / dist
+        ddx = segx * inv_d
+        ddy = segy * inv_d
+        ddz = segz * inv_d
+        occ = jnp.zeros_like(px, dtype=bool)
+        for i in range(n_spheres):
+            ocx = pwx - sph_ref[i, 0]
+            ocy = pwy - sph_ref[i, 1]
+            ocz = pwz - sph_ref[i, 2]
+            r = sph_ref[i, 3]
+            b = ocx * ddx + ocy * ddy + ocz * ddz
+            c = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+            disc = b * b - c
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            t0 = -b - sq
+            t1 = -b + sq
+            t = jnp.where(t0 > t_min, t0, t1)
+            occ = occ | ((disc > 0.0) & (t > t_min) & (t < dist - t_min))
+        occ = occ & (sky_ref[:] < 0.5)
+
+        ok = (trans > 0.0) & inner_ok & in_bounds & ~occ
+        ok_ref[:] = ok.astype(jnp.float32)
+
+    @jax.jit
+    def fn(px, py, pz, pwx, pwy, pwz, ap_x, ap_y, lam, skyf, params,
+           spheres):
+        n = px.shape[0]
+        n_pad = ((n + TILE - 1) // TILE) * TILE
+        pad = lambda a: jnp.pad(a, (0, n_pad - n)).reshape(-1, LANE)
+        rows = n_pad // LANE
+        grid = rows // SUBLANE
+        spec = pl.BlockSpec((SUBLANE, LANE), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+        bspec = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
+                                           memory_space=pltpu.VMEM)
+        lin, ok = pl.pallas_call(
+            kernel,
+            grid=(grid,),
+            in_specs=[spec] * 10 + [
+                bspec((1, SPLAT_PARAM_COUNT)),
+                bspec((n_spheres, 4)),
+            ],
+            out_specs=[spec] * 2,
+            out_shape=[
+                jax.ShapeDtypeStruct((rows, LANE), jnp.int32),
+                jax.ShapeDtypeStruct((rows, LANE), jnp.float32),
+            ],
+            interpret=interpret,
+        )(pad(px), pad(py), pad(pz), pad(pwx), pad(pwy), pad(pwz),
+          pad(ap_x), pad(ap_y), pad(lam), pad(skyf), params, spheres)
+        return lin.reshape(-1)[:n], ok.reshape(-1)[:n] > 0.5
+
+    return fn
+
+
 # ------------------------------------------------------------- kernel cache --
 
 _BACKWARD_KERNEL_CACHE: dict = {}
@@ -549,3 +736,49 @@ def prebuild_backward_kernel(lens: PolyLens, iterations: int = 5):
     if jax.default_backend() == "cpu":
         return
     resolve_backward_kernel(lens, iterations, True)
+
+
+_SPLAT_KERNEL_CACHE: dict = {}
+_SPLAT_KERNEL_BY_NAME: dict = {}
+
+
+def resolve_splat_kernel(lens: PolyLens, iterations: int, n_spheres: int,
+                         use_pallas: bool = True):
+    """Return the fused splat kernel, or None for the decomposed path.
+
+    Same tracer-aware contract as :func:`resolve_backward_kernel`: inside
+    jit the coefficients are tracers, so the resolver falls back to the
+    kernel prebuilt under the static lens name by ``setup_po_camera`` /
+    a prior eager call.
+    """
+    import os
+
+    import jax.core
+
+    if not use_pallas or os.environ.get("POTA_DISABLE_PALLAS"):
+        return None
+    if jax.default_backend() == "cpu":
+        return None
+    name_key = (lens.name, iterations, n_spheres)
+    if isinstance(lens.pt.coeffs, jax.core.Tracer):
+        ent = _SPLAT_KERNEL_BY_NAME.get(name_key)
+        return ent[1] if ent is not None else None
+    digest = lens_digest(lens)
+    if digest is None:
+        return None
+    key = (lens.name, digest, iterations, n_spheres)
+    kern = _SPLAT_KERNEL_CACHE.get(key)
+    if kern is None:
+        kern = build_po_splat_kernel(lens, iterations, n_spheres)
+        _SPLAT_KERNEL_CACHE[key] = kern
+    _SPLAT_KERNEL_BY_NAME[name_key] = (digest, kern)
+    return kern
+
+
+def prebuild_splat_kernel(lens: PolyLens, iterations: int, n_spheres: int):
+    """Eagerly build + cache the fused splat kernel (call with concrete
+    coefficients BEFORE jit-tracing a render — inside jit the resolver can
+    only find kernels prebuilt under the static lens name)."""
+    if jax.default_backend() == "cpu":
+        return
+    resolve_splat_kernel(lens, iterations, n_spheres, True)

@@ -193,13 +193,14 @@ class POState:
     tan_fov: float
 
 
-def setup_po_camera(lens: PolyLens, cfg) -> "POState":
+def setup_po_camera(lens: PolyLens, cfg, scene=None) -> "POState":
     """Replicate camera_model_specific_setup for PO (ref src/lentil.h:1568-1661).
 
     Returns the derived state the per-ray tracer needs: focus distance is
     pre-multiplied x10 (the reference's unit quirk, Appendix B of SURVEY.md),
     the aperture radius comes from the f-stop calibration, the sensor shift
-    from the logarithmic focus search.
+    from the logarithmic focus search.  Pass the render ``scene`` to also
+    prebuild the fused backward splat kernel (its sphere count is baked).
     """
     lam = cfg.lambda_um
     focus_distance = cfg.focus_distance * 10.0
@@ -210,10 +211,24 @@ def setup_po_camera(lens: PolyLens, cfg) -> "POState":
         aperture_radius = min(lens.aperture_radius_at_fstop, calibrated_r)
         if aperture_radius <= 0.0:
             aperture_radius = lens.aperture_radius_at_fstop
-    sensor_shift = (
-        logarithmic_focus_search(lens, focus_distance, lam)
-        + cfg.extra_sensor_shift
+    # ONE probe sweep over all candidate shifts serves the focus solve, the
+    # infinity estimate AND the sanity check (the reference re-traces for
+    # each, src/lentil.h:1445-1460 + 1621-1648; here the sweep is a single
+    # already-jitted batch so setup costs one compile, not three)
+    shifts_np = logarithmic_shift_candidates()
+    dist_j, ok_j = _axial_probe_distance(
+        lens, jnp.asarray(shifts_np, jnp.float32), lam
     )
+    dist_np = np.asarray(dist_j, np.float64)
+    ok_np = np.asarray(ok_j)
+
+    def pick(target):
+        delta = target - dist_np
+        cand = np.where(ok_np & (delta > 0.0), delta, np.inf)
+        i = int(np.argmin(cand))
+        return 0.0 if not np.isfinite(cand[i]) else float(shifts_np[i])
+
+    sensor_shift = pick(focus_distance) + cfg.extra_sensor_shift
     # hard shift limit, ref camera_set_focus clamp (src/lentil.h:1500-1516)
     if abs(sensor_shift) > SENSOR_SHIFT_LIMIT_MM:
         log("CAMERA PO",
@@ -224,13 +239,16 @@ def setup_po_camera(lens: PolyLens, cfg) -> "POState":
     # setup-time focus sanity checks (ref src/lentil.h:1617-1656): report
     # both infinity estimates and verify the solved shift actually focuses
     # where asked
-    shift_inf_log = focus_infinity_shift(lens, lam)
+    shift_inf_log = pick(999999999.0)
     shift_inf_lt = camera_set_focus_infinity(lens, lam)
     log("CAMERA PO",
         f"{lens.name}: sensor_shift {sensor_shift:.4f} mm "
         f"(infinity: log-search {shift_inf_log:.4f} mm, "
         f"parallel light-trace {shift_inf_lt:.4f} mm)", once=True)
-    test_dist, focus_ok = focus_check(lens, sensor_shift, lam)
+    # nearest-candidate lookup in the sweep (a fresh 1-ray probe would cost
+    # its own compile; the 1e-4-step sweep is dense enough for a sanity gate)
+    j = int(np.argmin(np.abs(shifts_np - sensor_shift)))
+    test_dist, focus_ok = float(dist_np[j]), bool(ok_np[j])
     if not focus_ok:
         log("CAMERA PO",
             f"{lens.name}: focus check FAILED at shift "
@@ -252,8 +270,11 @@ def setup_po_camera(lens: PolyLens, cfg) -> "POState":
     )
     # eagerly bake+cache the fused forward/backward kernels for jitted renders
     from ..models.po_camera import prebuild_forward_kernel
-    from ..ops.po_pallas import prebuild_backward_kernel
+    from ..ops.po_pallas import prebuild_backward_kernel, prebuild_splat_kernel
 
     prebuild_forward_kernel(lens, state.sensor_shift)
     prebuild_backward_kernel(lens, cfg.lt_newton_iterations)
+    if scene is not None and hasattr(scene, "n_objects"):
+        prebuild_splat_kernel(lens, cfg.lt_newton_iterations,
+                              scene.n_objects)
     return state

@@ -159,7 +159,8 @@ def camera_reverse_ray(cfg: CameraConfig, p_cam, po_lens=None):
 def render_sample_stream(cfg: CameraConfig, rc: RenderConfig, scene,
                          cam_to_world, seed: int = 0, po_lens=None,
                          bokeh_cdf=None, po_state=None,
-                         cam_to_world_end=None) -> dict:
+                         cam_to_world_end=None,
+                         use_pallas: bool = True) -> dict:
     """Trace + shade the whole frame; returns the per-sample AOV stream.
 
     The stream is the TPU analog of Arnold's AA sample iterator contents:
@@ -168,7 +169,8 @@ def render_sample_stream(cfg: CameraConfig, rc: RenderConfig, scene,
     """
     samples = sampling.frame_samples(rc, seed)
     origin_cs, dir_cs, weight = trace_camera_rays(
-        cfg, samples, po_lens=po_lens, bokeh_cdf=bokeh_cdf, po_state=po_state
+        cfg, samples, po_lens=po_lens, bokeh_cdf=bokeh_cdf,
+        po_state=po_state, use_pallas=use_pallas,
     )
     if cam_to_world_end is not None:
         m = interp_camera_matrix(cam_to_world, cam_to_world_end,
@@ -264,10 +266,11 @@ def render_frame_simple(cfg: CameraConfig, rc: RenderConfig, scene,
     return resolve_gaussian(rc, stream)
 
 
-@partial(jax.jit, static_argnums=(0, 1), static_argnames=("seed", "po_state"))
+@partial(jax.jit, static_argnums=(0, 1),
+         static_argnames=("seed", "po_state", "use_pallas"))
 def render_frame(cfg: CameraConfig, rc: RenderConfig, scene, cam_to_world,
                  seed: int = 0, po_lens=None, po_state=None, bokeh_cdf=None,
-                 cam_to_world_end=None):
+                 cam_to_world_end=None, use_pallas: bool = True):
     """Full pipeline: forward trace + bidirectional redistribution + resolve.
 
     The TPU equivalent of the reference's complete render flow:
@@ -279,7 +282,7 @@ def render_frame(cfg: CameraConfig, rc: RenderConfig, scene, cam_to_world,
     stream = render_sample_stream(
         cfg, rc, scene, cam_to_world, seed, po_lens=po_lens,
         bokeh_cdf=bokeh_cdf, po_state=po_state,
-        cam_to_world_end=cam_to_world_end,
+        cam_to_world_end=cam_to_world_end, use_pallas=use_pallas,
     )
     if not rc.enable_redistribution:
         return resolve_gaussian(rc, stream), {}
@@ -287,7 +290,7 @@ def render_frame(cfg: CameraConfig, rc: RenderConfig, scene, cam_to_world,
         cfg, rc, scene, stream, cam_to_world, po_lens=po_lens,
         po_state=po_state, bokeh_cdf=bokeh_cdf,
         n_crypto_ids=(scene.n_objects if rc.enable_id_matte else 0),
-        cam_to_world_end=cam_to_world_end,
+        cam_to_world_end=cam_to_world_end, use_pallas=use_pallas,
     )
     return resolve_imager(rc, fb), fb
 
