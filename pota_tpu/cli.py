@@ -44,6 +44,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--anamorphic", type=float, default=0.0)
     p.add_argument("--optical-vignetting", type=float, default=0.0)
     p.add_argument("--exposure", type=float, default=1.0)
+    p.add_argument("--glare", type=float, default=0.0, metavar="INTENSITY",
+                   help="FFT aperture-diffraction glare intensity (0 = off)")
+    p.add_argument("--glare-threshold", type=float, default=1.0)
     p.add_argument("--out", default="/tmp/pota_render.exr")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     p.add_argument("--aovs", action="store_true",
@@ -153,6 +156,14 @@ def main(argv=None) -> int:
             cfg, rc, scene, look_at([0, 0, 0], [0, 0, -1]), seed=args.seed,
             po_lens=po_lens, po_state=po_state, bokeh_cdf=bokeh_cdf,
         )
+        if args.glare > 0.0:
+            from pota_tpu.render.glare import resolve_with_glare
+
+            img = resolve_with_glare(
+                img, blades=args.aperture_blades,
+                threshold=args.glare_threshold, intensity=args.glare,
+                chroma=args.abb_chromatic,
+            )
         img = np.asarray(img)
     dt = time.time() - t0
     rays = rc.xres_region * rc.yres_region * args.spp

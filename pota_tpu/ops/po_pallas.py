@@ -529,8 +529,10 @@ _SP_XRES_R = 16
 _SP_YRES_R = 17
 _SP_INV_UNIT = 18    # 1 / cfg.unit_scale_filter
 _SP_SHIFT = 19       # po_state.sensor_shift
-_SP_INV_HSW = 20     # 1 / (sensor_width / 2)
+_SP_HSW = 20         # sensor_width / 2 (divide, matching the decomposed path)
 _SP_ASPECT = 21      # xres / yres
+_SP_AP_RADIUS = 22   # po_state.aperture_radius (in-kernel aperture sampling)
+_SP_LAMBDA = 23      # cfg.lambda_um (monochromatic path)
 
 
 def splat_kernel_params(cfg, rc, po_state, cam_to_world) -> jnp.ndarray:
@@ -543,15 +545,16 @@ def splat_kernel_params(cfg, rc, po_state, cam_to_world) -> jnp.ndarray:
             rc.xres, rc.yres, rc.region_min_x, rc.region_min_y,
             rc.xres_region, rc.yres_region,
             1.0 / cfg.unit_scale_filter, po_state.sensor_shift,
-            1.0 / (cfg.sensor_width * 0.5), rc.xres / rc.yres,
-            0.0, 0.0,
+            cfg.sensor_width * 0.5, rc.xres / rc.yres,
+            po_state.aperture_radius, cfg.lambda_um,
         ], jnp.float32),
     ])
     return vals.reshape(1, SPLAT_PARAM_COUNT)
 
 
 def build_po_splat_kernel(lens: PolyLens, iterations: int, n_spheres: int,
-                          interpret: bool = False):
+                          interpret: bool = False,
+                          sample_aperture: bool = False):
     """Fused per-lens backward SPLAT kernel: the entire per-slot pipeline of
     the bidirectional redistribution in one VPU program.
 
@@ -579,16 +582,75 @@ def build_po_splat_kernel(lens: PolyLens, iterations: int, n_spheres: int,
     r_inner2 = float(lens.inner_pupil_radius) ** 2
     t_min = 1e-3
 
+    def _sample_disk(seed, ctr):
+        """In-kernel TEA-8 + LCG + concentric disk (bit-exact with
+        utils/rng.uniforms' first two draws and samplers.
+        concentric_disk_sample — the reference's tea<8> seeding,
+        src/global.h:32-57 + src/lens.h:309-333).  The hash constants are
+        materialized INSIDE the kernel trace (module-level jnp scalars
+        would be captured consts, which pallas_call rejects)."""
+        u32 = lambda v: jnp.uint32(v)
+        v0 = seed.astype(jnp.uint32)
+        v1 = ctr.astype(jnp.uint32)
+        s0 = u32(0)
+        for _ in range(8):
+            s0 = s0 + u32(0x9E3779B9)
+            v0 = v0 + (
+                ((v1 << 4) + u32(0xA341316C))
+                ^ (v1 + s0)
+                ^ ((v1 >> 5) + u32(0xC8013EA4))
+            )
+            v1 = v1 + (
+                ((v0 << 4) + u32(0xAD90777D))
+                ^ (v0 + s0)
+                ^ ((v0 >> 5) + u32(0x7E95761E))
+            )
+        state = v0
+
+        def lcg(state):
+            state = state * u32(1664525) + u32(1013904223)
+            # Mosaic has no u32->f32 cast; the masked value fits int32
+            # exactly, so bitcast first (identical bits below 2^24)
+            lo = pltpu.bitcast(state & u32(0x00FFFFFF), jnp.int32)
+            u = lo.astype(jnp.float32) / jnp.float32(0x01000000)
+            return state, u
+
+        state, r1 = lcg(state)
+        _, r2 = lcg(state)
+        a = 2.0 * r1 - 1.0
+        b = 2.0 * r2 - 1.0
+        use_a = (a * a) > (b * b)
+        safe_a = jnp.where(a == 0.0, 1.0, a)
+        safe_b = jnp.where(b == 0.0, 1.0, b)
+        r = jnp.where(use_a, a, b)
+        phi = jnp.where(
+            use_a,
+            (jnp.pi / 4.0) * (b / safe_a),
+            (jnp.pi / 2.0) - (jnp.pi / 4.0) * (a / safe_b),
+        )
+        both_zero = (a == 0.0) & (b == 0.0)
+        x = jnp.where(both_zero, 0.0, r * jnp.cos(phi))
+        y = jnp.where(both_zero, 0.0, r * jnp.sin(phi))
+        return x, y
+
     def kernel(px_ref, py_ref, pz_ref, pwx_ref, pwy_ref, pwz_ref,
-               ax_ref, ay_ref, lam_ref, sky_ref, par_ref, sph_ref,
+               a_ref, b_ref, lam_ref, sky_ref, par_ref, sph_ref,
                lin_ref, ok_ref):
         px = px_ref[:]
         py = py_ref[:]
         pz = pz_ref[:]
-        ax = ax_ref[:]
-        ay = ay_ref[:]
-        lam = lam_ref[:]
         p = lambda k: par_ref[0, k]
+        if sample_aperture:
+            # a_ref/b_ref carry the (seed, counter) uint32 pair; the
+            # aperture point and wavelength are derived in registers
+            dx_, dy_ = _sample_disk(a_ref[:], b_ref[:])
+            ax = dx_ * p(_SP_AP_RADIUS)
+            ay = dy_ * p(_SP_AP_RADIUS)
+            lam = jnp.full_like(px, 0.0) + p(_SP_LAMBDA)
+        else:
+            ax = a_ref[:]
+            ay = b_ref[:]
+            lam = lam_ref[:]
 
         # backward target is -p_cam * 10 (ref src/lentil_filter.cpp:271)
         x, y, dx, dy, trans = solve(
@@ -599,8 +661,9 @@ def build_po_splat_kernel(lens: PolyLens, iterations: int, n_spheres: int,
         inner_ok = ipx * ipx + ipy * ipy <= r_inner2
 
         shift = p(_SP_SHIFT)
-        sx = (x + dx * -shift) * p(_SP_INV_HSW)
-        sy = (y + dy * -shift) * p(_SP_INV_HSW) * p(_SP_ASPECT)
+        hsw = p(_SP_HSW)
+        sx = (x + dx * -shift) / hsw
+        sy = (y + dy * -shift) / hsw * p(_SP_ASPECT)
         pixel_x = (sx + 1.0) * 0.5 * p(_SP_XRES) - p(_SP_RMINX)
         pixel_y = (-sy + 1.0) * 0.5 * p(_SP_YRES) - p(_SP_RMINY)
         xr = p(_SP_XRES_R)
@@ -657,21 +720,25 @@ def build_po_splat_kernel(lens: PolyLens, iterations: int, n_spheres: int,
         ok_ref[:] = ok.astype(jnp.float32)
 
     @jax.jit
-    def fn(px, py, pz, pwx, pwy, pwz, ap_x, ap_y, lam, skyf, params,
-           spheres):
+    def fn(px, py, pz, pwx, pwy, pwz, a, b, lam, skyf, params, spheres):
+        """``a``/``b`` are the aperture xy (f32) — or, with
+        ``sample_aperture``, the (seed, counter) uint32 pair, and ``lam``
+        must be a (1, 1) dummy (wavelength comes from the params)."""
         n = px.shape[0]
         n_pad = ((n + TILE - 1) // TILE) * TILE
-        pad = lambda a: jnp.pad(a, (0, n_pad - n)).reshape(-1, LANE)
+        pad = lambda v: jnp.pad(v, (0, n_pad - n)).reshape(-1, LANE)
         rows = n_pad // LANE
         grid = rows // SUBLANE
         spec = pl.BlockSpec((SUBLANE, LANE), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
         bspec = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
                                            memory_space=pltpu.VMEM)
+        lam_spec = bspec((1, 1)) if sample_aperture else spec
+        lam_in = lam if sample_aperture else pad(lam)
         lin, ok = pl.pallas_call(
             kernel,
             grid=(grid,),
-            in_specs=[spec] * 10 + [
+            in_specs=[spec] * 8 + [lam_spec, spec] + [
                 bspec((1, SPLAT_PARAM_COUNT)),
                 bspec((n_spheres, 4)),
             ],
@@ -682,7 +749,7 @@ def build_po_splat_kernel(lens: PolyLens, iterations: int, n_spheres: int,
             ],
             interpret=interpret,
         )(pad(px), pad(py), pad(pz), pad(pwx), pad(pwy), pad(pwz),
-          pad(ap_x), pad(ap_y), pad(lam), pad(skyf), params, spheres)
+          pad(a), pad(b), lam_in, pad(skyf), params, spheres)
         return lin.reshape(-1)[:n], ok.reshape(-1)[:n] > 0.5
 
     return fn
@@ -743,7 +810,8 @@ _SPLAT_KERNEL_BY_NAME: dict = {}
 
 
 def resolve_splat_kernel(lens: PolyLens, iterations: int, n_spheres: int,
-                         use_pallas: bool = True):
+                         use_pallas: bool = True,
+                         sample_aperture: bool = False):
     """Return the fused splat kernel, or None for the decomposed path.
 
     Same tracer-aware contract as :func:`resolve_backward_kernel`: inside
@@ -759,26 +827,30 @@ def resolve_splat_kernel(lens: PolyLens, iterations: int, n_spheres: int,
         return None
     if jax.default_backend() == "cpu":
         return None
-    name_key = (lens.name, iterations, n_spheres)
+    name_key = (lens.name, iterations, n_spheres, sample_aperture)
     if isinstance(lens.pt.coeffs, jax.core.Tracer):
         ent = _SPLAT_KERNEL_BY_NAME.get(name_key)
         return ent[1] if ent is not None else None
     digest = lens_digest(lens)
     if digest is None:
         return None
-    key = (lens.name, digest, iterations, n_spheres)
+    key = (lens.name, digest, iterations, n_spheres, sample_aperture)
     kern = _SPLAT_KERNEL_CACHE.get(key)
     if kern is None:
-        kern = build_po_splat_kernel(lens, iterations, n_spheres)
+        kern = build_po_splat_kernel(lens, iterations, n_spheres,
+                                     sample_aperture=sample_aperture)
         _SPLAT_KERNEL_CACHE[key] = kern
     _SPLAT_KERNEL_BY_NAME[name_key] = (digest, kern)
     return kern
 
 
 def prebuild_splat_kernel(lens: PolyLens, iterations: int, n_spheres: int):
-    """Eagerly build + cache the fused splat kernel (call with concrete
+    """Eagerly build + cache the fused splat kernels (call with concrete
     coefficients BEFORE jit-tracing a render — inside jit the resolver can
     only find kernels prebuilt under the static lens name)."""
     if jax.default_backend() == "cpu":
         return
-    resolve_splat_kernel(lens, iterations, n_spheres, True)
+    resolve_splat_kernel(lens, iterations, n_spheres, True,
+                         sample_aperture=False)
+    resolve_splat_kernel(lens, iterations, n_spheres, True,
+                         sample_aperture=True)

@@ -9,23 +9,31 @@ stage was 1.55 s of the 3.2 s flagship splat).
 This module pays for ONE shared sort and derives everything from it:
 
   1. ``lax.sort`` by (pixel, depth) with a stable permutation passenger
-     (122 ms at 18.6M) — the same order serves both accumulation and the
+     (115 ms at 18.6M) — the same order serves both accumulation and the
      closest-winner selection (first row of each pixel segment = smallest
      depth, ties broken by original writer order exactly like the old
      two-pass scatter-min);
   2. payload columns gathered once by the permutation;
-  3. a Pallas kernel walks the sorted stream in aligned chunks with a
+  3. a Pallas kernel walks the sorted stream in 1024-row chunks with a
      scalar-prefetched work list of (band, chunk) pairs: each output band
-     of ``band_px`` pixels accumulates in VMEM via a one-hot matmul on the
-     MXU ([chunk, band_px] one-hot x [chunk, rows] payload), one HBM write
-     per band — the round-2 plan's "sort-by-tile + VMEM accumulation"
-     (NOTES.md), and the TPU-native form of the reference's CUDA
-     per-sample splat kernel
+     of ``BAND_PX`` pixels accumulates in VMEM with ONE MXU contraction
+     per chunk — ``delta[R, P] = payload[R, C] @ onehot[C, P]`` — the
+     round-2 plan's "sort-by-tile + VMEM accumulation" (NOTES.md), and the
+     TPU-native form of the reference's CUDA per-sample splat kernel
      (/root/reference/src/cuda_prototype/lentil_thin_lens_bokeh_cuda.cu:211-277).
 
+Layout note (why two input layouts): the one-hot needs the chunk's pixel
+ids on SUBLANES ([C, 1] blocks) so ``local == iota`` broadcasts into the
+[C, P] operand without any lane<->sublane transpose, while the payload
+rows ride LANES ([1, C] blocks) so ``jnp.stack`` forms the [R, C] operand
+directly.  A first cut that batched 128-wide matmuls per sublane issued
+768 tiny MXU ops per chunk and ran at 1.05 s/frame; this single-matmul
+form is the fix.
+
 Winner selection rides the same matmul: the sorted stream's per-pixel
-first-occurrence mask selects exactly one row per pixel, so summing
-``mask * depth`` / ``mask * sample_id`` IS the winner gather.
+first-occurrence mask (applied on the payload side) selects exactly one
+row per pixel, so summing ``mask * depth`` / ``mask * sample_id`` IS the
+winner gather.
 
 Not differentiable (inference path only — the differentiable training
 surface keeps the linear scatter-add form in render/splat.py).
@@ -39,10 +47,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BAND_PX = 2048    # output pixels per band (lane-dim of the accumulator)
-CHUNK = 1024      # sorted-stream rows per grid step (one (8, 128) tile)
-_SUB = 8
-_LANE = 128
+BAND_PX = 1024    # output pixels per band (the one-hot's lane extent)
+CHUNK = 1024      # sorted-stream rows per grid step (contraction extent)
 N_ROWS_PAD = 8    # accumulator row tile (f32 sublane)
 
 
@@ -52,34 +58,24 @@ def _pad_rows(k: int) -> int:
 
 def _accum_kernel(n_payload: int, band_px: int,
                   band_ref, chunk_ref, live_ref, first_ref,
-                  pix_ref, focc_ref, depth_ref, sid_ref, *refs):
+                  pix_sub_ref, focc_ref, depth_ref, sid_ref, *refs):
     """One (band, chunk) work entry: accumulate a 1024-row chunk of the
-    sorted stream into this band's [R, band_px] VMEM block.
-
-    The chunk lives in its natural (8, 128) tile.  The band-local pixel
-    index is split ``local = hi * 128 + lo``; a single lane-onehot
-    ``[8, 128, 128]`` (no transposes) serves all ``band_px / 128`` hi
-    groups, each accumulated with one MXU contraction over the chunk.
-    """
+    sorted stream into this band's [R, band_px] VMEM block with a single
+    MXU contraction over the chunk."""
     payload_refs = refs[:n_payload]
     out_ref = refs[n_payload]
     w = pl.program_id(0)
     base = (band_ref[w] * band_px).astype(jnp.float32)
 
-    pix = pix_ref[0]                                   # [8, 128] f32
-    local = pix - base
+    local = pix_sub_ref[0] - base                      # [C, 1] sublanes
     in_band = (local >= 0.0) & (local < float(band_px))
     in_band &= live_ref[w] > 0
-    localc = jnp.clip(local, 0.0, float(band_px - 1))
-    hi = jnp.floor(localc * (1.0 / _LANE))
-    lo = localc - hi * _LANE
-
-    lanes = jax.lax.broadcasted_iota(
-        jnp.int32, (_SUB, _LANE, _LANE), 2
+    cols = jax.lax.broadcasted_iota(
+        jnp.int32, (local.shape[0], band_px), 1
     ).astype(jnp.float32)
-    onehot_lo = jnp.where(lo[:, :, None] == lanes, 1.0, 0.0)
+    onehot = jnp.where(in_band & (local == cols), 1.0, 0.0)  # [C, P]
 
-    focc = focc_ref[0]
+    focc = focc_ref[0]                                 # [1, C] lanes
     rows = [r[0] for r in payload_refs]
     rows.append(focc * depth_ref[0])
     rows.append(focc * sid_ref[0])
@@ -87,25 +83,17 @@ def _accum_kernel(n_payload: int, band_px: int,
     n_rows = out_ref.shape[1]
     while len(rows) < n_rows:
         rows.append(jnp.zeros_like(focc))
-    stack = jnp.stack(rows, 1)                         # [8, R, 128]
+    stack = jnp.concatenate(rows, 0)                   # [R, C]
 
-    parts = []
-    for h in range(band_px // _LANE):
-        mask_h = jnp.where(in_band & (hi == float(h)), 1.0, 0.0)
-        # batched over the sublane dim (Mosaic matmul wants exactly one
-        # contracting dim): [8, R, 128] x [8, 128, 128] -> [8, R, 128]
-        # the payload side must keep full f32 mantissas (default MXU
-        # precision truncates operands to bf16 — measured 3.7e-2 abs err);
-        # Mosaic rejects per-operand precision, so run the matmul at
-        # HIGHEST (bf16x3 decomposition, exact for f32 inputs)
-        out_h = jax.lax.dot_general(
-            stack * mask_h[:, None, :], onehot_lo,
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        parts.append(jnp.sum(out_h, 0))                # [R, 128]
-    delta = jnp.concatenate(parts, -1)                 # [R, band_px]
+    # the payload side must keep full f32 mantissas (default MXU precision
+    # truncates operands to bf16 — measured 3.7e-2 abs err); HIGHEST is the
+    # exact bf16x3 decomposition
+    delta = jax.lax.dot_general(
+        stack, onehot,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )                                                  # [R, band_px]
 
     @pl.when(first_ref[w] == 1)
     def _():
@@ -116,54 +104,54 @@ def _accum_kernel(n_payload: int, band_px: int,
         out_ref[0] += delta
 
 
-def accumulate_sorted(pix, depth, payload, sample_id, npix: int,
-                      interpret: bool = False):
-    """Segment-sum + closest-winner over a writer stream in one sorted pass.
+def sort_writers(pix, depth):
+    """The shared (pixel, depth) stable sort.
 
-    Args:
-      pix: [W] int32 target pixel per writer; dead writers carry the
-        sentinel ``npix`` (they sort past every band and are ignored).
-      depth: [W] f32 depth per writer (winner = min depth, ties by
-        original order).
-      payload: [W, K] f32 columns to segment-sum per pixel.
-      sample_id: [W] int32 source-sample id gathered back for the winner
-        (must stay < 2^24 so the f32 matmul path is exact).
-      npix: number of output pixels.
-
-    Returns (accum [npix, K], winner_depth [npix], winner_sample [npix]
-    int32, has_winner [npix] bool).
+    Returns (sorted_pix, sorted_depth, perm, first_occurrence): everything
+    downstream — payload gathers, the accumulation kernel and the winner
+    selection — derives from this one sort.
     """
     wtot = pix.shape[0]
-    k = payload.shape[1]
-    n_rows = _pad_rows(k)
-    n_bands = -(-npix // BAND_PX)
-
     perm0 = jnp.arange(wtot, dtype=jnp.int32)
-    sp, _, perm = jax.lax.sort((pix, depth, perm0), num_keys=2,
-                               is_stable=True)
-    pay_s = payload[perm]
-    sid_s = sample_id[perm].astype(jnp.float32)
-    dep_s = depth[perm]
-    # per-pixel first occurrence in sorted order = the closest winner
+    sp, dep_s, perm = jax.lax.sort((pix, depth, perm0), num_keys=2,
+                                   is_stable=True)
     focc = jnp.concatenate(
         [jnp.ones((1,), jnp.float32),
          (sp[1:] != sp[:-1]).astype(jnp.float32)]
     )
+    return sp, dep_s, perm, focc
 
-    # pad the stream to whole chunks with sentinel rows; each chunk is one
-    # natural (8, 128) f32 tile (pixel ids stay exact in f32: < 2^24)
+
+def accumulate_presorted(sp, cols_sorted, dep_s, sid_s, focc, npix: int,
+                         interpret: bool = False):
+    """Kernel stage over an ALREADY-SORTED writer stream.
+
+    ``cols_sorted``: list of [W] f32 payload columns in sorted order
+    (callers with per-sample value tables should gather them via the
+    composed index ``sample_of_writer[perm]`` — one small-table gather per
+    column instead of materializing and permuting a [W, K] payload).
+    Returns (accum [npix, K], winner_depth, winner_sample, has_winner).
+    """
+    wtot = sp.shape[0]
+    k = len(cols_sorted)
+    n_rows = _pad_rows(k)
+    n_bands = -(-npix // BAND_PX)
+
+    # pad the stream to whole chunks with sentinel rows.  Pixel ids ride
+    # SUBLANES ([C, 1] blocks -> the one-hot operand); payload/focc/depth/
+    # sid ride LANES ([1, C] blocks -> the [R, C] matmul operand).
     n_chunks = -(-wtot // CHUNK)
     wpad = n_chunks * CHUNK
     padn = wpad - wtot
-    shape3 = (n_chunks, _SUB, _LANE)
+    sub = (n_chunks, CHUNK, 1)
+    lane = (n_chunks, 1, CHUNK)
     sp_p = jnp.pad(sp, (0, padn), constant_values=npix).astype(
-        jnp.float32).reshape(shape3)
-    focc_p = jnp.pad(focc, (0, padn)).reshape(shape3)
-    dep_p = jnp.pad(dep_s, (0, padn)).reshape(shape3)
-    sid_p = jnp.pad(sid_s, (0, padn)).reshape(shape3)
+        jnp.float32).reshape(sub)
+    focc_p = jnp.pad(focc, (0, padn)).reshape(lane)
+    dep_p = jnp.pad(dep_s, (0, padn)).reshape(lane)
+    sid_p = jnp.pad(sid_s, (0, padn)).reshape(lane)
     pay_p = [
-        jnp.pad(pay_s[:, c], (0, padn)).reshape(shape3)
-        for c in range(k)
+        jnp.pad(c_, (0, padn)).reshape(lane) for c_ in cols_sorted
     ]
 
     # ---- work list: (band, chunk) pairs over the sorted stream ----------
@@ -192,14 +180,18 @@ def accumulate_sorted(pix, depth, payload, sample_id, npix: int,
          (b_cl[1:] != b_cl[:-1]).astype(jnp.int32)]
     )
 
-    chunk_spec = pl.BlockSpec(
-        (1, _SUB, _LANE), lambda w, b, c, l, f: (c[w], 0, 0),
+    sub_spec = pl.BlockSpec(
+        (1, CHUNK, 1), lambda w, b, c, l, f: (c[w], 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    lane_spec = pl.BlockSpec(
+        (1, 1, CHUNK), lambda w, b, c, l, f: (c[w], 0, 0),
         memory_space=pltpu.VMEM,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(w_max,),
-        in_specs=[chunk_spec] * (4 + k),
+        in_specs=[sub_spec] + [lane_spec] * (3 + k),
         out_specs=pl.BlockSpec(
             (1, n_rows, BAND_PX), lambda w, b, c, l, f: (b[w], 0, 0),
             memory_space=pltpu.VMEM,
@@ -220,3 +212,27 @@ def accumulate_sorted(pix, depth, payload, sample_id, npix: int,
     winner_sample = flat[:, k + 1].astype(jnp.int32)
     has_winner = flat[:, k + 2] > 0.5
     return accum, winner_depth, winner_sample, has_winner
+
+
+def accumulate_sorted(pix, depth, payload, sample_id, npix: int,
+                      interpret: bool = False):
+    """Segment-sum + closest-winner over a writer stream in one sorted pass.
+
+    Args:
+      pix: [W] int32 target pixel per writer; dead writers carry the
+        sentinel ``npix`` (they sort past every band and are ignored).
+      depth: [W] f32 depth per writer (winner = min depth, ties by
+        original order).
+      payload: [W, K] f32 columns to segment-sum per pixel.
+      sample_id: [W] int32 source-sample id gathered back for the winner
+        (must stay < 2^24 so the f32 matmul path is exact).
+      npix: number of output pixels.
+
+    Returns (accum [npix, K], winner_depth [npix], winner_sample [npix]
+    int32, has_winner [npix] bool).
+    """
+    sp, dep_s, perm, focc = sort_writers(pix, depth)
+    cols = [payload[perm, c] for c in range(payload.shape[1])]
+    sid_s = sample_id[perm].astype(jnp.float32)
+    return accumulate_presorted(sp, cols, dep_s, sid_s, focc, npix,
+                                interpret=interpret)

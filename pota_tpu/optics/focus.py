@@ -137,6 +137,25 @@ def focus_infinity_shift(lens: PolyLens, lam: float = 0.55) -> float:
     return logarithmic_focus_search(lens, 999999999.0, lam)
 
 
+@partial(jax.jit, static_argnames=("lam",))
+def _fstop_scan(lens_l: PolyLens, h, lam: float):
+    """Batched marginal-ray f-number per parallel-ray height (jitted at
+    module level so repeated camera setups reuse one compilation)."""
+    target = jnp.stack(
+        [jnp.zeros_like(h), h, jnp.full_like(h, _BIG)], -1
+    )
+    ap = jnp.stack([jnp.full_like(h, 0.01), h], -1)
+    sensor5, out4, trans = lt_sample_aperture(lens_l, target, ap, lam)
+    ok = (trans > 0.0) & inner_pupil_ok(lens_l, sensor5)
+    Ri = lens_l.inner_pupil_curvature_radius
+    pos, direction = geo.chart_to_cs(
+        out4[:, :2], out4[:, 2:4], -Ri + lens_l.back_focal_length, Ri,
+        lens_l.inner_chart,
+    )
+    theta = jnp.arctan(pos[:, 1] / pos[:, 2])
+    return 1.0 / (jnp.sin(theta) * 2.0), ok
+
+
 def calibrate_fstop(lens: PolyLens, fstop_target: float, lam: float = 0.55,
                     n_rays: int = 1000):
     """F-stop -> aperture radius calibration scan.
@@ -148,24 +167,7 @@ def calibrate_fstop(lens: PolyLens, fstop_target: float, lam: float = 0.55,
     exceeds the target.
     """
     heights = np.arange(1, n_rays) / n_rays * lens.outer_pupil_radius
-
-    @jax.jit
-    def scan(lens_l, h):
-        target = jnp.stack(
-            [jnp.zeros_like(h), h, jnp.full_like(h, _BIG)], -1
-        )
-        ap = jnp.stack([jnp.full_like(h, 0.01), h], -1)
-        sensor5, out4, trans = lt_sample_aperture(lens_l, target, ap, lam)
-        ok = (trans > 0.0) & inner_pupil_ok(lens_l, sensor5)
-        Ri = lens_l.inner_pupil_curvature_radius
-        pos, direction = geo.chart_to_cs(
-            out4[:, :2], out4[:, 2:4], -Ri + lens_l.back_focal_length, Ri,
-            lens_l.inner_chart,
-        )
-        theta = jnp.arctan(pos[:, 1] / pos[:, 2])
-        return 1.0 / (jnp.sin(theta) * 2.0), ok
-
-    fstop, ok = scan(lens, jnp.asarray(heights, jnp.float32))
+    fstop, ok = _fstop_scan(lens, jnp.asarray(heights, jnp.float32), lam)
 
     fstop = np.asarray(fstop, np.float64)
     ok = np.asarray(ok)

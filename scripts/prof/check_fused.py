@@ -1,8 +1,9 @@
 """On-TPU parity + timing of the fused splat kernel & sorted accumulator.
 
-Renders the flagship bidir config small (256x256) with the new fused path
-vs the decomposed pure path and reports image agreement, then times the
-1080p bench config end-to-end both ways.
+Parity A/B at 256x256: fused kernel vs the decomposed path (backward
+kernel + outside occlusion/mapping) — both share the same Newton solve, so
+differences are confined to boundary rounding flips.  Then times the 1080p
+bench config end-to-end on the final path.
 """
 import os
 import sys
@@ -37,15 +38,15 @@ m = look_at([0, 0, 0], [0, 0, -1])
 rc = RenderConfig(xres=256, yres=256, spp=2)
 
 
-def run(use_pallas):
+def run(fused):
     f = jax.jit(lambda _: render_frame(cfg, rc, scene, m, seed=0,
                                        po_lens=poly, po_state=state,
-                                       use_pallas=use_pallas))
+                                       fused_splat=fused))
     img, fb = jax.block_until_ready(f(0))
     aovs = jax.block_until_ready(
         jax.jit(lambda _: resolve_aovs(
             rc, render_frame(cfg, rc, scene, m, seed=0, po_lens=poly,
-                             po_state=state, use_pallas=use_pallas)[1]))(0))
+                             po_state=state, fused_splat=fused)[1]))(0))
     return np.asarray(img), {k: np.asarray(v) for k, v in aovs.items()}
 
 
@@ -74,11 +75,11 @@ state_big = setup_po_camera(poly, cfg_big, scene=scene)
 rc_big = RenderConfig(xres=1920, yres=1080, spp=1)
 
 
-def timeit(name, use_pallas, iters=3):
+def timeit(name, fused=True, iters=3):
     f = jax.jit(lambda _: resolve_aovs(
         rc_big, render_frame(cfg_big, rc_big, scene, m, seed=0,
                              po_lens=poly, po_state=state_big,
-                             use_pallas=use_pallas)[1]))
+                             fused_splat=fused)[1]))
     t0 = time.perf_counter()
     out = f(0)
     float(jnp.asarray(out["RGBA"]).ravel()[0])

@@ -57,6 +57,74 @@ def test_dryrun_multichip_entrypoint():
 
 
 @pytest.mark.slow
+def test_sharded_po_full_aovs_halo():
+    """The polynomial-optics bidir path sharded over 8 devices with FULL
+    AOVs (VERDICT r3 weak #5), merged two ways:
+
+    * reduce-scatter (full-frame psum_scatter) — the baseline merge;
+    * halo-bounded exchange (ppermute of max-CoC boundary bands only).
+
+    The two merges must agree BIT-FOR-BIT: a shard's partial buffer is zero
+    beyond the halo bound, so the halo merge adds exactly the same nonzero
+    terms — if the CoC bound ever failed to contain a splat, energy would
+    go missing and this assertion would catch it.
+    """
+    from pota_tpu import CameraType
+    from pota_tpu.optics.fit import get_or_fit_lens
+    from pota_tpu.optics.focus import setup_po_camera
+    from pota_tpu.parallel.sharded import splat_halo_rows
+
+    name = "angenieux__double_gauss__1953__49mm"
+    poly = get_or_fit_lens(name)
+    cfg = CameraConfig(
+        camera_type=CameraType.POLYNOMIAL_OPTICS, lens_model=name,
+        fstop=5.6, focus_distance=100.0, vignetting_retries=1,
+        max_bidir_samples=4, splat_queue_mult=4, enable_skydome=False,
+    )
+    state = setup_po_camera(poly, cfg)
+    rc = RenderConfig(xres=32, yres=32, spp=1)
+    scene = sc.lightgrid_scene(n=2, spacing=6.0, z=-120.0, radius=0.5,
+                               intensity=40.0)
+    mesh = make_mesh(8)
+
+    halo = splat_halo_rows(cfg, rc, scene, po_state=state)
+    tile_h = rc.yres // 8
+    # the multi-hop exchange must be engaged (less traffic than the
+    # reduce-scatter) for this to be a meaningful A/B
+    assert 0 < 2 * halo < 7 * tile_h, halo
+
+    img_full, fb_full = render_frame_sharded(
+        cfg, rc, scene, M, mesh, seed=0, po_lens=poly, po_state=state)
+    img_halo, fb_halo = render_frame_sharded(
+        cfg, rc, scene, M, mesh, seed=0, po_lens=poly, po_state=state,
+        halo_rows=halo)
+
+    a, b = np.asarray(img_halo), np.asarray(img_full)
+    assert np.isfinite(a).all() and a[..., :3].sum() > 0.0
+    np.testing.assert_array_equal(a, b)
+    assert set(fb_halo) == set(fb_full)
+    for k in fb_full:  # every AOV plane, incl. closest winners + zmin
+        np.testing.assert_array_equal(
+            np.asarray(fb_halo[k]), np.asarray(fb_full[k]), err_msg=k)
+
+
+@pytest.mark.slow
+def test_sharded_bitexact_48x48_onframe(grid_scene):
+    """Bit-exact sharded-vs-single gate at a resolution where the discs are
+    fully on-frame (VERDICT r3 weak #6: the 24x24 loose case was the only
+    frame-like config; this pins a 48x48 one exactly)."""
+    rc = RenderConfig(xres=48, yres=48, spp=1)
+    scene = sc.lightgrid_scene(n=2, spacing=10.0, z=-400.0, radius=3.0,
+                               intensity=40.0)
+    mesh = make_mesh(8)
+    img_sh, _ = render_frame_sharded(CFG, rc, scene, M, mesh, seed=0)
+    img, _ = render_frame(CFG, rc, scene, M, seed=0)
+    a, b = np.asarray(img_sh), np.asarray(img)
+    assert np.isfinite(a).all() and a[..., :3].sum() > 0.0
+    np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.slow
 def test_sharded_bitexact_16x16(grid_scene):
     """With the bokeh discs fully on-frame, the sharded and single-device
     renders must agree bit-for-bit: the splat is a deterministic scatter-add
