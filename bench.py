@@ -250,8 +250,11 @@ def bench_grad_step(poly):
     from pota_tpu.render import scene as sc
     from pota_tpu.render.renderer import look_at, render_frame
 
-    scene = sc.lightgrid_scene(n=4, spacing=14.0, z=-150.0, radius=0.8,
-                               intensity=40.0)
+    # the SHADED scene: pure-emissive grids make the loss piecewise-
+    # constant in the lens coefficients (grad identically 0); the teapot's
+    # lambert term gives the continuous hit-point dependence a lens-
+    # optimization objective actually has
+    scene = sc.teapot_scene()
     m = look_at([0, 0, 0], [0, 0, -1])
 
     def run(xres, yres, queue_mult, chunks):

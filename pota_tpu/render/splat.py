@@ -59,8 +59,12 @@ def _sorted_accum_enabled(cfg: CameraConfig, use_pallas: bool) -> bool:
     # merely controls stop_gradient placement on the pure path and is True
     # by default, so keying on it would disable the kernels for every
     # plain render (r4 bug: e2e silently ran the old scatter path).
+    # PO-only: the thin-lens configs measured FASTER on the plain scatter
+    # path (BENCH r4: tl_teapot 4.8e5 sorted vs 7.1e5 scatter samples/s —
+    # at small queues the sort+gather overhead exceeds the scatter cost).
     return (
         use_pallas
+        and cfg.camera_type == CameraType.POLYNOMIAL_OPTICS
         and not os.environ.get("POTA_DISABLE_PALLAS")
         and jax.default_backend() != "cpu"
     )
