@@ -755,6 +755,284 @@ def build_po_splat_kernel(lens: PolyLens, iterations: int, n_spheres: int,
     return fn
 
 
+# --------------------------------------------------------------------------
+# Table-gather splat kernel: kills the [S]-sized XLA gathers.
+# --------------------------------------------------------------------------
+
+# compact source-table row layout ([16, N] f32)
+TBL_PX, TBL_PY = 0, 1
+TBL_PCX, TBL_PCY, TBL_PCZ = 2, 3, 4
+TBL_PWX, TBL_PWY, TBL_PWZ = 5, 6, 7
+TBL_SKY, TBL_START = 8, 9
+TBL_R, TBL_G, TBL_B, TBL_A = 10, 11, 12, 13
+TBL_Z, TBL_OID = 14, 15
+TBL_ROWS = 16
+
+_TS_CHUNK = 512      # slots per grid step
+_TS_WIN = 1024       # source-table window (2 blocks of _TS_CHUNK)
+
+
+def build_po_table_splat_kernel(lens: PolyLens, iterations: int,
+                                n_spheres: int, interpret: bool = False):
+    """Fused splat kernel v3: per-SOURCE data arrives via an in-kernel
+    one-hot MXU gather from a compact source table instead of [S]-sized
+    XLA gathers.
+
+    r4 profiling (NOTES.md): the splat frame spent ~2.6 s in XLA gathers
+    running at 0.6-1.3 GiB/s while the kernels cost ~160 ms.  Slots are
+    source-contiguous and every compact source owns >= 1 slot, so a
+    512-slot chunk spans <= 512 compact sources — one scalar-prefetched
+    1024-row table window covers it, and ``vals[16, 512] = win[16, 1024] @
+    onehot[1024, 512]`` (HIGHEST precision — exact for f32) replaces eight
+    separate gathers.  The kernel then runs the same sampling + Newton +
+    mapping + occlusion pipeline as :func:`build_po_splat_kernel` and
+    additionally emits the per-slot rgba payload / depth / source id the
+    sorted accumulator needs — so NOTHING downstream gathers by ``src``.
+
+    Monochromatic, analytic-aperture path only (the chroma / image-bokeh
+    variants keep the v2 kernel).  Requires queue_size < 2^24 and
+    n_compact_sources < 2^24 (ids ride f32 exactly).
+
+    Returns ``fn(src_c, table, tb, params, spheres) -> (lin i32, ok f32,
+    oid i32, r, g, b, a, zabs)`` with ``src_c`` [S] f32 compact ids,
+    ``table`` [16, Nt] (Nt padded to _TS_CHUNK), ``tb`` [n_chunks] i32
+    window block indices.
+    """
+    solve = _emit_backward_solve(lens, iterations)
+    bfl = float(lens.back_focal_length)
+    r_inner2 = float(lens.inner_pupil_radius) ** 2
+    t_min = 1e-3
+
+    # reuse the v2 in-kernel sampler via a tiny local copy of its closure
+    base_kernel = build_po_splat_kernel  # noqa: F841  (doc pointer)
+
+    def _sample_disk(seed, ctr):
+        u32 = lambda v: jnp.uint32(v)
+        v0 = seed
+        v1 = ctr
+        s0 = u32(0)
+        for _ in range(8):
+            s0 = s0 + u32(0x9E3779B9)
+            v0 = v0 + (((v1 << 4) + u32(0xA341316C)) ^ (v1 + s0)
+                       ^ ((v1 >> 5) + u32(0xC8013EA4)))
+            v1 = v1 + (((v0 << 4) + u32(0xAD90777D)) ^ (v0 + s0)
+                       ^ ((v0 >> 5) + u32(0x7E95761E)))
+        state = v0
+
+        def lcg(state):
+            state = state * u32(1664525) + u32(1013904223)
+            lo = pltpu.bitcast(state & u32(0x00FFFFFF), jnp.int32)
+            return state, lo.astype(jnp.float32) / jnp.float32(0x01000000)
+
+        state, r1 = lcg(state)
+        _, r2 = lcg(state)
+        a = 2.0 * r1 - 1.0
+        b = 2.0 * r2 - 1.0
+        use_a = (a * a) > (b * b)
+        safe_a = jnp.where(a == 0.0, 1.0, a)
+        safe_b = jnp.where(b == 0.0, 1.0, b)
+        r = jnp.where(use_a, a, b)
+        phi = jnp.where(use_a, (jnp.pi / 4.0) * (b / safe_a),
+                        (jnp.pi / 2.0) - (jnp.pi / 4.0) * (a / safe_b))
+        both_zero = (a == 0.0) & (b == 0.0)
+        return (jnp.where(both_zero, 0.0, r * jnp.cos(phi)),
+                jnp.where(both_zero, 0.0, r * jnp.sin(phi)))
+
+    def kernel(tb_ref, src_ref, tblA_ref, tblB_ref, par_ref, sph_ref,
+               lin_ref, ok_ref, oid_ref, r_ref, g_ref, b_ref, a_ref,
+               z_ref):
+        w = pl.program_id(0)
+        p = lambda k: par_ref[0, k]
+
+        src = src_ref[0]                                # [1, C] f32
+        base = (tb_ref[w] * _TS_CHUNK).astype(jnp.float32)
+        local = src - base                              # in [0, _TS_WIN)
+        rows = jax.lax.broadcasted_iota(
+            jnp.int32, (_TS_WIN, _TS_CHUNK), 0
+        ).astype(jnp.float32)
+        onehot = jnp.where(rows == local, 1.0, 0.0)     # [WIN, C]
+        win = jnp.concatenate([tblA_ref[:], tblB_ref[:]], 1)  # [16, WIN]
+        vals = jax.lax.dot_general(
+            win, onehot, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )                                               # [16, C]
+
+        row = lambda k: vals[k:k + 1, :]                # [1, C]
+        px = row(TBL_PCX)
+        py = row(TBL_PCY)
+        pz = row(TBL_PCZ)
+
+        # seed/counter from table ints (exact: pixel coords < 2^12,
+        # queue offsets guarded < 2^24)
+        pxi = pltpu.bitcast(row(TBL_PX).astype(jnp.int32), jnp.uint32)
+        pyi = pltpu.bitcast(row(TBL_PY).astype(jnp.int32), jnp.uint32)
+        seed = pxi * pyi + pxi
+        q = (w * _TS_CHUNK + jax.lax.broadcasted_iota(
+            jnp.int32, (1, _TS_CHUNK), 1)).astype(jnp.float32)
+        lane = q - row(TBL_START)
+        ctr = pltpu.bitcast(
+            jnp.maximum(lane, 0.0).astype(jnp.int32), jnp.uint32
+        )
+
+        dx_, dy_ = _sample_disk(seed, ctr)
+        ax = dx_ * p(_SP_AP_RADIUS)
+        ay = dy_ * p(_SP_AP_RADIUS)
+        lam = jnp.zeros_like(px) + p(_SP_LAMBDA)
+
+        x, y, dx, dy, trans = solve(
+            px * -10.0, py * -10.0, pz * -10.0, ax, ay, lam
+        )
+        ipx = x + dx * bfl
+        ipy = y + dy * bfl
+        inner_ok = ipx * ipx + ipy * ipy <= r_inner2
+
+        shift = p(_SP_SHIFT)
+        hsw = p(_SP_HSW)
+        sx = (x + dx * -shift) / hsw
+        sy = (y + dy * -shift) / hsw * p(_SP_ASPECT)
+        pixel_x = (sx + 1.0) * 0.5 * p(_SP_XRES) - p(_SP_RMINX)
+        pixel_y = (-sy + 1.0) * 0.5 * p(_SP_YRES) - p(_SP_RMINY)
+        xr = p(_SP_XRES_R)
+        yr = p(_SP_YRES_R)
+        in_bounds = ((pixel_x >= 0.0) & (pixel_x < xr)
+                     & (pixel_y >= 0.0) & (pixel_y < yr))
+        px_i = jnp.clip(jnp.floor(pixel_x), 0.0, xr - 1.0)
+        py_i = jnp.clip(jnp.floor(pixel_y), 0.0, yr - 1.0)
+        lin = py_i * xr + px_i
+        lin_ref[0] = jnp.where(jnp.isfinite(lin), lin, 0.0).astype(jnp.int32)
+
+        inv_unit = p(_SP_INV_UNIT)
+        lcx = -ax * 0.1 * inv_unit
+        lcy = -ay * 0.1 * inv_unit
+        cwx = p(_SP_ROT + 0) * lcx + p(_SP_ROT + 1) * lcy + p(_SP_TRANS + 0)
+        cwy = p(_SP_ROT + 3) * lcx + p(_SP_ROT + 4) * lcy + p(_SP_TRANS + 1)
+        cwz = p(_SP_ROT + 6) * lcx + p(_SP_ROT + 7) * lcy + p(_SP_TRANS + 2)
+        pwx = row(TBL_PWX)
+        pwy = row(TBL_PWY)
+        pwz = row(TBL_PWZ)
+        segx = cwx - pwx
+        segy = cwy - pwy
+        segz = cwz - pwz
+        dist = jnp.sqrt(
+            jnp.maximum(segx * segx + segy * segy + segz * segz, 1e-24))
+        inv_d = 1.0 / dist
+        ddx = segx * inv_d
+        ddy = segy * inv_d
+        ddz = segz * inv_d
+        occ = jnp.zeros_like(px, dtype=bool)
+        for i in range(n_spheres):
+            ocx = pwx - sph_ref[i, 0]
+            ocy = pwy - sph_ref[i, 1]
+            ocz = pwz - sph_ref[i, 2]
+            r_s = sph_ref[i, 3]
+            bq = ocx * ddx + ocy * ddy + ocz * ddz
+            cq = ocx * ocx + ocy * ocy + ocz * ocz - r_s * r_s
+            disc = bq * bq - cq
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            t0 = -bq - sq
+            t1 = -bq + sq
+            t = jnp.where(t0 > t_min, t0, t1)
+            occ = occ | ((disc > 0.0) & (t > t_min) & (t < dist - t_min))
+        occ = occ & (row(TBL_SKY) < 0.5)
+
+        ok = (trans > 0.0) & inner_ok & in_bounds & ~occ
+        ok_ref[0] = ok.astype(jnp.float32)
+        oid_ref[0] = row(TBL_OID).astype(jnp.int32)
+        r_ref[0] = row(TBL_R)
+        g_ref[0] = row(TBL_G)
+        b_ref[0] = row(TBL_B)
+        a_ref[0] = row(TBL_A)
+        z_ref[0] = row(TBL_Z)
+
+    @jax.jit
+    def fn(src_c, table, tb, params, spheres):
+        s = src_c.shape[0]
+        n_chunks = -(-s // _TS_CHUNK)
+        s_pad = n_chunks * _TS_CHUNK
+        src_p = jnp.pad(src_c, (0, s_pad - s)).reshape(n_chunks, 1,
+                                                       _TS_CHUNK)
+        nt = table.shape[1]
+        n_tblocks = nt // _TS_CHUNK
+        tb = jnp.clip(tb, 0, n_tblocks - 1)
+        tb2 = jnp.minimum(tb + 1, n_tblocks - 1)
+
+        lane_out = pl.BlockSpec((1, 1, _TS_CHUNK),
+                                lambda w, tbr: (w, 0, 0),
+                                memory_space=pltpu.VMEM)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_chunks,),
+            in_specs=[
+                pl.BlockSpec((1, 1, _TS_CHUNK), lambda w, tbr: (w, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((TBL_ROWS, _TS_CHUNK),
+                             lambda w, tbr: (0, tbr[w]),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((TBL_ROWS, _TS_CHUNK),
+                             lambda w, tbr: (0, jnp.minimum(
+                                 tbr[w] + 1, nt // _TS_CHUNK - 1)),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, SPLAT_PARAM_COUNT),
+                             lambda w, tbr: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_spheres, 4), lambda w, tbr: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[lane_out] * 8,
+        )
+        outs = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=(
+                [jax.ShapeDtypeStruct((n_chunks, 1, _TS_CHUNK), jnp.int32)]
+                + [jax.ShapeDtypeStruct((n_chunks, 1, _TS_CHUNK),
+                                        jnp.float32)]
+                + [jax.ShapeDtypeStruct((n_chunks, 1, _TS_CHUNK), jnp.int32)]
+                + [jax.ShapeDtypeStruct((n_chunks, 1, _TS_CHUNK),
+                                        jnp.float32)] * 5
+            ),
+            interpret=interpret,
+        )(tb, src_p, table, table, params, spheres)
+        return tuple(o.reshape(-1)[:s] for o in outs)
+
+    return fn
+
+
+_TABLE_KERNEL_CACHE: dict = {}
+_TABLE_KERNEL_BY_NAME: dict = {}
+
+
+def resolve_table_splat_kernel(lens: PolyLens, iterations: int,
+                               n_spheres: int, use_pallas: bool = True):
+    """Tracer-aware resolver for the table splat kernel (same contract as
+    :func:`resolve_splat_kernel`)."""
+    import os
+
+    import jax.core
+
+    if not use_pallas or os.environ.get("POTA_DISABLE_PALLAS"):
+        return None
+    if os.environ.get("POTA_DISABLE_TABLE_SPLAT"):
+        return None
+    if jax.default_backend() == "cpu":
+        return None
+    name_key = (lens.name, iterations, n_spheres)
+    if isinstance(lens.pt.coeffs, jax.core.Tracer):
+        ent = _TABLE_KERNEL_BY_NAME.get(name_key)
+        return ent[1] if ent is not None else None
+    digest = lens_digest(lens)
+    if digest is None:
+        return None
+    key = (lens.name, digest, iterations, n_spheres)
+    kern = _TABLE_KERNEL_CACHE.get(key)
+    if kern is None:
+        kern = build_po_table_splat_kernel(lens, iterations, n_spheres)
+        _TABLE_KERNEL_CACHE[key] = kern
+    _TABLE_KERNEL_BY_NAME[name_key] = (digest, kern)
+    return kern
+
+
 # ------------------------------------------------------------- kernel cache --
 
 _BACKWARD_KERNEL_CACHE: dict = {}
@@ -854,3 +1132,4 @@ def prebuild_splat_kernel(lens: PolyLens, iterations: int, n_spheres: int):
                          sample_aperture=False)
     resolve_splat_kernel(lens, iterations, n_spheres, True,
                          sample_aperture=True)
+    resolve_table_splat_kernel(lens, iterations, n_spheres, True)

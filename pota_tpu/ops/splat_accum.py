@@ -104,6 +104,25 @@ def _accum_kernel(n_payload: int, band_px: int,
         out_ref[0] += delta
 
 
+def sort_writers_with_payload(pix, depth, cols, sid):
+    """(pixel, depth) stable sort carrying the payload as PASSENGERS.
+
+    r4 profiling: post-sort permutation gathers ran at ~1 GiB/s; letting
+    ``lax.sort`` move the payload costs only the extra operand bandwidth
+    of the sort itself.  Returns (sorted_pix, sorted_depth, sorted_cols,
+    sorted_sid, first_occurrence).
+    """
+    ops = jax.lax.sort((pix, depth, sid) + tuple(cols), num_keys=2,
+                       is_stable=True)
+    sp, dep_s, sid_s = ops[0], ops[1], ops[2]
+    cols_s = list(ops[3:])
+    focc = jnp.concatenate(
+        [jnp.ones((1,), jnp.float32),
+         (sp[1:] != sp[:-1]).astype(jnp.float32)]
+    )
+    return sp, dep_s, cols_s, sid_s, focc
+
+
 def sort_writers(pix, depth):
     """The shared (pixel, depth) stable sort.
 

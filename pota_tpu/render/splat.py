@@ -229,6 +229,37 @@ def splat_queue(budget, redistribute, rays_per_count: int, queue_size: int):
     return src, lane, slot_on, slots
 
 
+def splat_queue_compact(budget, redistribute, queue_size: int):
+    """:func:`splat_queue` variant emitting COMPACT source ids.
+
+    Marks are dropped for zero-slot sources, so ``src`` numbers only the
+    slot-owning sources consecutively — a 512-slot chunk then spans at
+    most 512 table rows, which is what lets the table splat kernel
+    (ops/po_pallas.py build_po_table_splat_kernel) window its one-hot
+    gather.  The slot layout is IDENTICAL to :func:`splat_queue` (same
+    offsets/slot_on); only the source numbering differs.  Lane indices are
+    not computed here (the kernel derives them from the table's start
+    column — the ``starts[src]`` gather was one of the r4 hot gathers).
+    """
+    n = budget.shape[0]
+    slots = jnp.where(redistribute, budget, 0)
+    total = jnp.sum(slots.astype(jnp.float32))
+    scale = jnp.minimum(
+        1.0, (queue_size * (1.0 - 1e-6)) / jnp.maximum(total, 1.0)
+    )
+    scaled = jnp.floor(slots.astype(jnp.float32) * scale).astype(jnp.int32)
+    slots = jnp.where(slots > 0, jnp.maximum(scaled, 1), 0)
+    offsets = jnp.cumsum(slots)
+    starts = offsets - slots
+    q = jnp.arange(queue_size, dtype=jnp.int32)
+    marks = jnp.zeros((queue_size,), jnp.int32).at[starts].add(
+        (slots > 0).astype(jnp.int32), mode="drop"
+    )
+    src_c = jnp.clip(jnp.cumsum(marks) - 1, 0, n - 1)
+    slot_on = q < offsets[-1]
+    return src_c, slot_on, slots
+
+
 def thinlens_backward_project(cfg: CameraConfig, rc: RenderConfig,
                               cam_space_pos, seeds, k_idx, bokeh_cdf=None):
     """One backward thin-lens sample per slot: scene point -> pixel.
@@ -470,18 +501,10 @@ def splat_frame(cfg: CameraConfig, rc: RenderConfig, scene, stream,
     else:
         add_energy = jnp.zeros_like(lum)
 
-    # ---- backward splats: flat queue of S slots --------------------------
-    src, lane, slot_on, granted = splat_queue(
-        budget, redistribute, rays_per_count, s_cap
-    )
-    counter = (lane // rays_per_count).astype(jnp.uint32)
-    channel = (lane % rays_per_count).astype(jnp.int32) if chroma else None
+    xres_r, yres_r = rc.xres_region, rc.yres_region
+    dtype = stream["rgba"].dtype
+    import os as _os
 
-    seeds = (
-        stream["px"].astype(jnp.uint32) * stream["py"].astype(jnp.uint32)
-        + stream["px"].astype(jnp.uint32)
-    )
-    seed_q = seeds[src]
     # Gated-out samples (sky with P=0, inside-lens, ...) can hold degenerate
     # positions that produce NaN/Inf inside the projections.  Their slots
     # are masked below, but NaN x 0 still poisons gradients and Newton
@@ -490,16 +513,99 @@ def splat_frame(cfg: CameraConfig, rc: RenderConfig, scene, stream,
         redistribute[:, None], p_cam,
         jnp.asarray([0.0, 0.0, -100.0], p_cam.dtype),
     )
-    p_cam_q = p_cam_safe[src]
-    xres_r, yres_r = rc.xres_region, rc.yres_region
+
+    # ---- table splat path: the gather-free pipeline ----------------------
+    # (ops/po_pallas.py build_po_table_splat_kernel — r4 profiling showed
+    # [S]-sized XLA gathers at ~1 GiB/s dominating the frame; here every
+    # per-source value rides a compact table the kernel one-hot-gathers on
+    # the MXU, and the kernel outputs the payload the sorted accumulator
+    # needs, so nothing downstream gathers by src.)
+    from .aov import CLOSEST as _CLOSEST, GAUSSIAN as _GAUSSIAN
+
+    _gauss_names = [s.name for s in aovs if s.filter == _GAUSSIAN]
+    table_kern = None
+    if (cfg.camera_type == CameraType.POLYNOMIAL_OPTICS
+            and cam_to_world_end is None
+            and hasattr(scene, "centers")
+            and fused_splat and not chroma
+            and not cfg.bokeh_enable_image and cfg.aperture_blades <= 2
+            and n_crypto_ids == 0
+            and _gauss_names == ["RGBA"]
+            and s_cap < (1 << 24) and n < (1 << 24)
+            and _sorted_accum_enabled(cfg, use_pallas)
+            and not _os.environ.get("POTA_DISABLE_FUSED_SPLAT")):
+        from ..ops.po_pallas import resolve_table_splat_kernel
+
+        table_kern = resolve_table_splat_kernel(
+            po_lens, cfg.lt_newton_iterations, scene.n_objects, use_pallas
+        )
+
+    if table_kern is not None:
+        from ..ops.po_pallas import (
+            TBL_ROWS, _TS_CHUNK, splat_kernel_params,
+        )
+        from ..utils.profiling import log
+
+        log("SPLAT", "table splat kernel engaged (gather-free pipeline)",
+            once=True)
+        src, slot_on, granted = splat_queue_compact(
+            budget, redistribute, s_cap
+        )
+        lane = counter = channel = None
+        depth_src = jnp.abs(stream["z"])
+        slot_vals = stream["rgba"] + add_energy[:, None] * jnp.asarray(
+            [1.0, 1.0, 1.0, 0.0], dtype
+        )
+        offs_n0 = jnp.cumsum(granted)
+        starts_n0 = (offs_n0 - granted).astype(dtype)
+        has = granted > 0
+        pos = jnp.where(has, jnp.cumsum(has.astype(jnp.int32)) - 1, n)
+        cols16 = jnp.stack([
+            stream["px"].astype(dtype), stream["py"].astype(dtype),
+            p_cam_safe[:, 0], p_cam_safe[:, 1], p_cam_safe[:, 2],
+            p_ws[:, 0], p_ws[:, 1], p_ws[:, 2],
+            sky.astype(dtype), starts_n0,
+            slot_vals[:, 0], slot_vals[:, 1], slot_vals[:, 2],
+            slot_vals[:, 3],
+            depth_src, jnp.arange(n, dtype=dtype),
+        ], 0)                                         # [16, N]
+        nt = -(-n // _TS_CHUNK) * _TS_CHUNK
+        table = jnp.zeros((TBL_ROWS, nt), dtype).at[:, pos].set(
+            cols16, mode="drop"
+        )
+        tb = (src[::_TS_CHUNK] // _TS_CHUNK).astype(jnp.int32)
+        params = splat_kernel_params(cfg, rc, po_state, cam_to_world)
+        spheres = jnp.concatenate(
+            [scene.centers, scene.radii[:, None]], -1
+        ).astype(jnp.float32)
+        (lin_splat, ok_f, oid, k_r, k_g, k_b, k_a, k_z) = table_kern(
+            src.astype(dtype), table, tb, params, spheres
+        )
+        valid = slot_on & (ok_f > 0.5)
+        proj = {"rgb_weight": jnp.ones(src.shape + (3,), dtype)}
+    else:
+        oid = k_z = None
+        src, lane, slot_on, granted = splat_queue(
+            budget, redistribute, rays_per_count, s_cap
+        )
+        counter = (lane // rays_per_count).astype(jnp.uint32)
+        channel = (
+            (lane % rays_per_count).astype(jnp.int32) if chroma else None
+        )
+
+        seeds = (
+            stream["px"].astype(jnp.uint32) * stream["py"].astype(jnp.uint32)
+            + stream["px"].astype(jnp.uint32)
+        )
+        seed_q = seeds[src]
+        p_cam_q = p_cam_safe[src]
 
     # fully-fused projection path: Newton solve + pixel mapping + occlusion
     # probe in one per-lens Pallas kernel (ops/po_pallas.py
     # build_po_splat_kernel) — replaces three [S]-materialized stages.
-    import os as _os
-
     fused_kern = None
-    if (cfg.camera_type == CameraType.POLYNOMIAL_OPTICS
+    if (table_kern is None
+            and cfg.camera_type == CameraType.POLYNOMIAL_OPTICS
             and cam_to_world_end is None
             and hasattr(scene, "centers")
             and fused_splat
@@ -515,14 +621,16 @@ def splat_frame(cfg: CameraConfig, rc: RenderConfig, scene, stream,
             sample_aperture=sample_in_kernel,
         )
 
-    if (fused_kern is None and use_pallas
+    if (table_kern is None and fused_kern is None and use_pallas
             and cfg.camera_type == CameraType.POLYNOMIAL_OPTICS
             and jax.default_backend() != "cpu"):
         from ..utils.profiling import log
 
         log("SPLAT", "fused splat kernel NOT engaged (not prebuilt for "
             f"this lens/scene?) — decomposed path", once=True)
-    if fused_kern is not None:
+    if table_kern is not None:
+        pass  # projection + occlusion already done by the table kernel
+    elif fused_kern is not None:
         from ..ops.po_pallas import splat_kernel_params
         from ..utils.profiling import log
 
@@ -645,7 +753,7 @@ def splat_frame(cfg: CameraConfig, rc: RenderConfig, scene, stream,
     # fall back to the source pixel when no slot succeeded
     use_source = (~redistribute) | (successes == 0)
 
-    if fused_kern is None:
+    if table_kern is None and fused_kern is None:
         px_splat = jnp.clip(
             jnp.floor(proj["pixel_x"]).astype(jnp.int32), 0, xres_r - 1
         )
@@ -659,20 +767,23 @@ def splat_frame(cfg: CameraConfig, rc: RenderConfig, scene, stream,
     )
 
     # weight chain (ref src/lentil_filter.cpp:295-298, 442-444)
-    w_slot = jnp.where(valid, inv_density * inv_success[src], 0.0)
+    slot_sample = oid if table_kern is not None else src
+    w_slot = jnp.where(valid, inv_density * inv_success[slot_sample], 0.0)
     rgbw = jnp.concatenate(
         [proj["rgb_weight"], jnp.ones_like(proj["rgb_weight"][..., :1])], -1
     )
     w_src = jnp.where(use_source, inv_density, 0.0)
 
     npix = xres_r * yres_r
-    dtype = stream["rgba"].dtype
 
     # ---- writers: all queue slots + the source-pixel fallback path -------
     writer_pix = jnp.concatenate([lin_splat, lin_source])
     writer_valid = jnp.concatenate([valid, use_source])
     depth_src = jnp.abs(stream["z"])
-    writer_depth = jnp.concatenate([depth_src[src], depth_src])
+    if table_kern is not None:
+        writer_depth = jnp.concatenate([k_z, depth_src])  # kernel output
+    else:
+        writer_depth = jnp.concatenate([depth_src[src], depth_src])
 
     # per-sample AOV stream values (debug AOV = backward budget,
     # ref src/lentil_filter.cpp:209-211)
@@ -705,9 +816,11 @@ def splat_frame(cfg: CameraConfig, rc: RenderConfig, scene, stream,
             src_contrib = values * w_src[:, None]
         return slot_contrib, src_contrib
 
-    # writer -> source sample: queue slots carry src, fallback writers are
-    # the samples themselves
-    sample_of_writer = jnp.concatenate([src, jnp.arange(n, dtype=jnp.int32)])
+    # writer -> source sample: queue slots carry their source sample id,
+    # fallback writers are the samples themselves
+    sample_of_writer = jnp.concatenate(
+        [slot_sample, jnp.arange(n, dtype=jnp.int32)]
+    )
     has_closest = any(spec.filter == CLOSEST for spec in aovs)
     gauss_specs = [s for s in aovs if s.filter == GAUSSIAN]
     buffers: dict = {}
@@ -724,6 +837,7 @@ def splat_frame(cfg: CameraConfig, rc: RenderConfig, scene, stream,
         # XLA would sort independently.
         from ..ops.splat_accum import (
             accumulate_presorted, accumulate_sorted, sort_writers,
+            sort_writers_with_payload,
         )
 
         writer_pix_s = jnp.where(writer_valid, writer_pix, npix)
@@ -731,7 +845,30 @@ def splat_frame(cfg: CameraConfig, rc: RenderConfig, scene, stream,
             len(gauss_specs) == 1 and gauss_specs[0].name == "RGBA"
             and channel is None
         )
-        if rgba_only:
+        if table_kern is not None:
+            # gather-free: the kernel already emitted the slot rgba payload
+            # (add_energy folded at table build); the sort carries the
+            # payload as passengers instead of post-sort perm gathers
+            values = aov_value_rgba(stream, gauss_specs[0])
+            cols = [
+                jnp.concatenate([k_r * w_slot, values[:, 0] * w_src]),
+                jnp.concatenate([k_g * w_slot, values[:, 1] * w_src]),
+                jnp.concatenate([k_b * w_slot, values[:, 2] * w_src]),
+                jnp.concatenate([k_a * w_slot, values[:, 3] * w_src]),
+                jnp.concatenate([w_slot, w_src]),
+            ]
+            sp_, dep_s, cols_s, sid_s, focc = sort_writers_with_payload(
+                writer_pix_s, writer_depth, cols, sample_of_writer
+            )
+            accum, winner_depth, winner_sample, has_winner = (
+                accumulate_presorted(
+                    sp_, cols_s, dep_s, sid_s.astype(jnp.float32), focc,
+                    npix
+                )
+            )
+            weight_buf = accum[:, 4]
+            buffers["RGBA"] = accum[:, :4].reshape(yres_r, xres_r, 4)
+        elif rgba_only:
             # fast path: build the sorted payload by COMPOSED gathers from
             # the [N]-sized per-sample table (one int gather + one weight
             # gather + 4 small-table gathers) instead of materializing and
