@@ -262,7 +262,7 @@ def bench_grad_step(poly):
             camera_type=CameraType.POLYNOMIAL_OPTICS, lens_model=FLAGSHIP,
             fstop=2.8, focus_distance=20.0, vignetting_retries=2,
             splat_queue_mult=queue_mult, splat_chunks=chunks,
-            differentiate_splat_geometry=True,
+            trace_chunks=chunks, differentiate_splat_geometry=True,
         )
         state = setup_po_camera(poly, cfg)
         rc = RenderConfig(xres=xres, yres=yres, spp=1)

@@ -105,6 +105,12 @@ class CameraConfig:
     # frame's 16M-slot queue compiles in ~56G of temps unchunked (v5e OOM)
     # and fits comfortably at 16 chunks.  1 = fully parallel (small frames).
     splat_chunks: int = 1
+    # Sequentialize the FORWARD trace over this many lax.map chunks (with
+    # rematerialization: the chunk body recomputes in the backward pass).
+    # The pure-path pt_sample_aperture holds a [N, K, T] monomial temp —
+    # 16 GB at 4K/160 terms unchunked; 32 chunks bound it at ~0.5 GB, which
+    # is what lets BASELINE config 5 (4K differentiable step) fit HBM.
+    trace_chunks: int = 1
     # When False, gradients treat the backward-splat landing positions as
     # constant (energy values stay differentiable through the forward
     # trace); collapses the training-step transpose graph dramatically.

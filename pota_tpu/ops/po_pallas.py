@@ -517,8 +517,8 @@ def _solve4(J, r):
 # Fused backward SPLAT kernel: Newton solve + pixel mapping + occlusion.
 # --------------------------------------------------------------------------
 
-# scalar-parameter layout for the fused splat kernel ([1, 24] f32 VMEM row)
-SPLAT_PARAM_COUNT = 24
+# scalar-parameter layout for the fused splat kernels ([1, 32] f32 VMEM row)
+SPLAT_PARAM_COUNT = 32
 _SP_ROT = 0          # 0..8   cam_to_world rotation, row major
 _SP_TRANS = 9        # 9..11  cam_to_world translation
 _SP_XRES = 12
@@ -533,28 +533,171 @@ _SP_HSW = 20         # sensor_width / 2 (divide, matching the decomposed path)
 _SP_ASPECT = 21      # xres / yres
 _SP_AP_RADIUS = 22   # po_state.aperture_radius (in-kernel aperture sampling)
 _SP_LAMBDA = 23      # cfg.lambda_um (monochromatic path)
+_SP_LAM_R = 24       # chromatic wavelength table (ref filter.cpp:255-267)
+_SP_LAM_G = 25
+_SP_LAM_B = 26
+_SP_TL_APR = 27      # thin-lens aperture radius (scene units)
+_SP_TL_F = 28        # effective focal length
+_SP_TL_IDFD = 29     # image_dist_focusdist (ref src/lentil.h:665-671)
+_SP_TL_ANAM = 30     # effective anamorphic squeeze
 
 
 def splat_kernel_params(cfg, rc, po_state, cam_to_world) -> jnp.ndarray:
-    """Pack the per-frame scalars the fused splat kernel reads ([1, 24])."""
+    """Pack the per-frame scalars the fused splat kernels read ([1, 32])."""
     m = jnp.asarray(cam_to_world, jnp.float32)
+    if po_state is not None:
+        ap_radius = po_state.aperture_radius
+        shift = po_state.sensor_shift
+    else:  # thin-lens frames carry no PO state
+        ap_radius = 0.0
+        shift = 0.0
+    ca = cfg.abb_chromatic
+    from ..optics.thinlens import image_dist_focusdist
+
     vals = jnp.concatenate([
         m[:3, :3].reshape(-1),
         m[:3, 3],
         jnp.asarray([
             rc.xres, rc.yres, rc.region_min_x, rc.region_min_y,
             rc.xres_region, rc.yres_region,
-            1.0 / cfg.unit_scale_filter, po_state.sensor_shift,
+            1.0 / cfg.unit_scale_filter, shift,
             cfg.sensor_width * 0.5, rc.xres / rc.yres,
-            po_state.aperture_radius, cfg.lambda_um,
+            ap_radius, cfg.lambda_um,
+            0.35 + (1.0 - ca) * 0.2, 0.55, 0.55 + ca * 0.3,
+            cfg.thinlens_aperture_radius, cfg.effective_focal_length,
+            image_dist_focusdist(cfg), cfg.effective_anamorphic,
+            0.0,
         ], jnp.float32),
     ])
     return vals.reshape(1, SPLAT_PARAM_COUNT)
 
 
+def _tea_lcg2(seed, ctr):
+    """In-kernel TEA-8 + LCG: the first two uniforms of the (seed, counter)
+    stream (bit-exact with utils/rng.uniforms' first two draws — the
+    reference's tea<8> seeding, src/global.h:32-57).  The hash constants
+    are materialized INSIDE the kernel trace (module-level jnp scalars
+    would be captured consts, which pallas_call rejects)."""
+    u32 = lambda v: jnp.uint32(v)
+    v0 = seed.astype(jnp.uint32)
+    v1 = ctr.astype(jnp.uint32)
+    s0 = u32(0)
+    for _ in range(8):
+        s0 = s0 + u32(0x9E3779B9)
+        v0 = v0 + (
+            ((v1 << 4) + u32(0xA341316C))
+            ^ (v1 + s0)
+            ^ ((v1 >> 5) + u32(0xC8013EA4))
+        )
+        v1 = v1 + (
+            ((v0 << 4) + u32(0xAD90777D))
+            ^ (v0 + s0)
+            ^ ((v0 >> 5) + u32(0x7E95761E))
+        )
+    state = v0
+
+    def lcg(state):
+        state = state * u32(1664525) + u32(1013904223)
+        # Mosaic has no u32->f32 cast; the masked value fits int32
+        # exactly, so bitcast first (identical bits below 2^24)
+        lo = pltpu.bitcast(state & u32(0x00FFFFFF), jnp.int32)
+        u = lo.astype(jnp.float32) / jnp.float32(0x01000000)
+        return state, u
+
+    state, r1 = lcg(state)
+    _, r2 = lcg(state)
+    return r1, r2
+
+
+def _concentric_map(r1, r2):
+    """Shirley concentric square->disk map (samplers.concentric_disk_sample,
+    ref src/lens.h:309-333).  Returns (x, y, a, b): the raw square sample
+    rides along for the squircle lerp."""
+    a = 2.0 * r1 - 1.0
+    b = 2.0 * r2 - 1.0
+    use_a = (a * a) > (b * b)
+    safe_a = jnp.where(a == 0.0, 1.0, a)
+    safe_b = jnp.where(b == 0.0, 1.0, b)
+    r = jnp.where(use_a, a, b)
+    phi = jnp.where(
+        use_a,
+        (jnp.pi / 4.0) * (b / safe_a),
+        (jnp.pi / 2.0) - (jnp.pi / 4.0) * (a / safe_b),
+    )
+    return r, phi, a, b
+
+
+def _tea_concentric_disk(seed, ctr):
+    """Plain concentric disk point from the (seed, counter) stream."""
+    r1, r2 = _tea_lcg2(seed, ctr)
+    r, phi, a, b = _concentric_map(r1, r2)
+    both_zero = (a == 0.0) & (b == 0.0)
+    x = jnp.where(both_zero, 0.0, r * jnp.cos(phi))
+    y = jnp.where(both_zero, 0.0, r * jnp.sin(phi))
+    return x, y
+
+
+def _tea_concentric_disk_aberrated(seed, ctr, abb_spherical: float,
+                                   circle_to_square: float):
+    """Aberrated concentric disk point: spherical-aberration bias + squircle
+    lerp with STATIC strengths baked as immediates
+    (samplers.concentric_disk_sample_aberrated, ref src/lens.h:477-514)."""
+    import math
+
+    r1, r2 = _tea_lcg2(seed, ctr)
+    r, phi, a, b = _concentric_map(r1, r2)
+    if abb_spherical != 0.5:
+        expo = math.log(abb_spherical) / math.log(0.5)
+        r = jnp.sign(r) * jnp.exp(
+            jnp.log(jnp.maximum(jnp.abs(r), 1e-30)) * expo
+        )
+    x = r * jnp.cos(phi)
+    y = r * jnp.sin(phi)
+    if circle_to_square > 0.0:
+        x = x + circle_to_square * (a - x)
+        y = y + circle_to_square * (b - y)
+    both_zero = (a == 0.0) & (b == 0.0)
+    x = jnp.where(both_zero, 0.0, x)
+    y = jnp.where(both_zero, 0.0, y)
+    return x, y
+
+
+def _occlude_spheres(pwx, pwy, pwz, cwx, cwy, cwz, sph_ref, n_spheres: int,
+                     t_min: float = 1e-3):
+    """Analytic sphere-scene segment occlusion (the reference's AiTraceProbe
+    inside the splat loop, src/lentil.h:622-629), shared by the PO and TL
+    splat kernels."""
+    segx = cwx - pwx
+    segy = cwy - pwy
+    segz = cwz - pwz
+    dist = jnp.sqrt(
+        jnp.maximum(segx * segx + segy * segy + segz * segz, 1e-24)
+    )
+    inv_d = 1.0 / dist
+    ddx = segx * inv_d
+    ddy = segy * inv_d
+    ddz = segz * inv_d
+    occ = jnp.zeros_like(pwx, dtype=bool)
+    for i in range(n_spheres):
+        ocx = pwx - sph_ref[i, 0]
+        ocy = pwy - sph_ref[i, 1]
+        ocz = pwz - sph_ref[i, 2]
+        r = sph_ref[i, 3]
+        b = ocx * ddx + ocy * ddy + ocz * ddz
+        c = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+        disc = b * b - c
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        t0 = -b - sq
+        t1 = -b + sq
+        t = jnp.where(t0 > t_min, t0, t1)
+        occ = occ | ((disc > 0.0) & (t > t_min) & (t < dist - t_min))
+    return occ
+
+
 def build_po_splat_kernel(lens: PolyLens, iterations: int, n_spheres: int,
                           interpret: bool = False,
-                          sample_aperture: bool = False):
+                          sample_aperture: bool = False,
+                          lam_input: bool = False):
     """Fused per-lens backward SPLAT kernel: the entire per-slot pipeline of
     the bidirectional redistribution in one VPU program.
 
@@ -581,57 +724,7 @@ def build_po_splat_kernel(lens: PolyLens, iterations: int, n_spheres: int,
     bfl = float(lens.back_focal_length)
     r_inner2 = float(lens.inner_pupil_radius) ** 2
     t_min = 1e-3
-
-    def _sample_disk(seed, ctr):
-        """In-kernel TEA-8 + LCG + concentric disk (bit-exact with
-        utils/rng.uniforms' first two draws and samplers.
-        concentric_disk_sample — the reference's tea<8> seeding,
-        src/global.h:32-57 + src/lens.h:309-333).  The hash constants are
-        materialized INSIDE the kernel trace (module-level jnp scalars
-        would be captured consts, which pallas_call rejects)."""
-        u32 = lambda v: jnp.uint32(v)
-        v0 = seed.astype(jnp.uint32)
-        v1 = ctr.astype(jnp.uint32)
-        s0 = u32(0)
-        for _ in range(8):
-            s0 = s0 + u32(0x9E3779B9)
-            v0 = v0 + (
-                ((v1 << 4) + u32(0xA341316C))
-                ^ (v1 + s0)
-                ^ ((v1 >> 5) + u32(0xC8013EA4))
-            )
-            v1 = v1 + (
-                ((v0 << 4) + u32(0xAD90777D))
-                ^ (v0 + s0)
-                ^ ((v0 >> 5) + u32(0x7E95761E))
-            )
-        state = v0
-
-        def lcg(state):
-            state = state * u32(1664525) + u32(1013904223)
-            # Mosaic has no u32->f32 cast; the masked value fits int32
-            # exactly, so bitcast first (identical bits below 2^24)
-            lo = pltpu.bitcast(state & u32(0x00FFFFFF), jnp.int32)
-            u = lo.astype(jnp.float32) / jnp.float32(0x01000000)
-            return state, u
-
-        state, r1 = lcg(state)
-        _, r2 = lcg(state)
-        a = 2.0 * r1 - 1.0
-        b = 2.0 * r2 - 1.0
-        use_a = (a * a) > (b * b)
-        safe_a = jnp.where(a == 0.0, 1.0, a)
-        safe_b = jnp.where(b == 0.0, 1.0, b)
-        r = jnp.where(use_a, a, b)
-        phi = jnp.where(
-            use_a,
-            (jnp.pi / 4.0) * (b / safe_a),
-            (jnp.pi / 2.0) - (jnp.pi / 4.0) * (a / safe_b),
-        )
-        both_zero = (a == 0.0) & (b == 0.0)
-        x = jnp.where(both_zero, 0.0, r * jnp.cos(phi))
-        y = jnp.where(both_zero, 0.0, r * jnp.sin(phi))
-        return x, y
+    _sample_disk = _tea_concentric_disk
 
     def kernel(px_ref, py_ref, pz_ref, pwx_ref, pwy_ref, pwz_ref,
                a_ref, b_ref, lam_ref, sky_ref, par_ref, sph_ref,
@@ -642,11 +735,15 @@ def build_po_splat_kernel(lens: PolyLens, iterations: int, n_spheres: int,
         p = lambda k: par_ref[0, k]
         if sample_aperture:
             # a_ref/b_ref carry the (seed, counter) uint32 pair; the
-            # aperture point and wavelength are derived in registers
+            # aperture point (and, unless ``lam_input``, the wavelength)
+            # is derived in registers
             dx_, dy_ = _sample_disk(a_ref[:], b_ref[:])
             ax = dx_ * p(_SP_AP_RADIUS)
             ay = dy_ * p(_SP_AP_RADIUS)
-            lam = jnp.full_like(px, 0.0) + p(_SP_LAMBDA)
+            if lam_input:  # chromatic: per-slot wavelength rides an input
+                lam = lam_ref[:]
+            else:
+                lam = jnp.full_like(px, 0.0) + p(_SP_LAMBDA)
         else:
             ax = a_ref[:]
             ay = b_ref[:]
@@ -733,8 +830,9 @@ def build_po_splat_kernel(lens: PolyLens, iterations: int, n_spheres: int,
                             memory_space=pltpu.VMEM)
         bspec = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
                                            memory_space=pltpu.VMEM)
-        lam_spec = bspec((1, 1)) if sample_aperture else spec
-        lam_in = lam if sample_aperture else pad(lam)
+        per_slot_lam = (not sample_aperture) or lam_input
+        lam_spec = spec if per_slot_lam else bspec((1, 1))
+        lam_in = pad(lam) if per_slot_lam else lam
         lin, ok = pl.pallas_call(
             kernel,
             grid=(grid,),
@@ -772,78 +870,29 @@ _TS_CHUNK = 512      # slots per grid step
 _TS_WIN = 1024       # source-table window (2 blocks of _TS_CHUNK)
 
 
-def build_po_table_splat_kernel(lens: PolyLens, iterations: int,
-                                n_spheres: int, interpret: bool = False):
-    """Fused splat kernel v3: per-SOURCE data arrives via an in-kernel
-    one-hot MXU gather from a compact source table instead of [S]-sized
-    XLA gathers.
+def build_expand_kernel(interpret: bool = False):
+    """Compact-table -> slot-resolution EXPAND kernel (one-hot MXU gather).
 
-    r4 profiling (NOTES.md): the splat frame spent ~2.6 s in XLA gathers
-    running at 0.6-1.3 GiB/s while the kernels cost ~160 ms.  Slots are
-    source-contiguous and every compact source owns >= 1 slot, so a
-    512-slot chunk spans <= 512 compact sources — one scalar-prefetched
-    1024-row table window covers it, and ``vals[16, 512] = win[16, 1024] @
-    onehot[1024, 512]`` (HIGHEST precision — exact for f32) replaces eight
-    separate gathers.  The kernel then runs the same sampling + Newton +
-    mapping + occlusion pipeline as :func:`build_po_splat_kernel` and
-    additionally emits the per-slot rgba payload / depth / source id the
-    sorted accumulator needs — so NOTHING downstream gathers by ``src``.
+    r4's table splat kernel fused this gather WITH the Newton solve, but its
+    [1, 512] lane-only chunk layout ran the solve at ~1/8 VPU utilization
+    (r5 stage profile: 1085 ms vs the v2 fused kernel's ~103 ms for the
+    same work).  v5 splits them: this kernel ONLY expands the compact
+    [16, N] source table to slot resolution [16, S] — slots are source-
+    contiguous and every compact source owns >= 1 slot, so a 512-slot chunk
+    spans <= 512 compact rows and one scalar-prefetched 1024-row window
+    covers it; ``out[16, 512] = win[16, 1024] @ onehot[1024, 512]`` at
+    HIGHEST precision is exact for f32 (ids < 2^24).  The Newton solve then
+    runs in the v2 fused splat kernel at full [8, 128] layout, and every
+    downstream per-slot quantity (seed, lane, chroma channel, payload,
+    depth, source id) is an ELEMENTWISE read of an expanded row — no
+    [S <- N] XLA gathers anywhere in the splat.
 
-    Monochromatic, analytic-aperture path only (the chroma / image-bokeh
-    variants keep the v2 kernel).  Requires queue_size < 2^24 and
-    n_compact_sources < 2^24 (ids ride f32 exactly).
-
-    Returns ``fn(src_c, table, tb, params, spheres) -> (lin i32, ok f32,
-    oid i32, r, g, b, a, zabs)`` with ``src_c`` [S] f32 compact ids,
-    ``table`` [16, Nt] (Nt padded to _TS_CHUNK), ``tb`` [n_chunks] i32
-    window block indices.
+    Returns ``fn(src_c [S] f32 compact ids, table [16, Nt], tb [n_chunks]
+    i32 window block ids) -> [16, S] f32``.
     """
-    solve = _emit_backward_solve(lens, iterations)
-    bfl = float(lens.back_focal_length)
-    r_inner2 = float(lens.inner_pupil_radius) ** 2
-    t_min = 1e-3
 
-    # reuse the v2 in-kernel sampler via a tiny local copy of its closure
-    base_kernel = build_po_splat_kernel  # noqa: F841  (doc pointer)
-
-    def _sample_disk(seed, ctr):
-        u32 = lambda v: jnp.uint32(v)
-        v0 = seed
-        v1 = ctr
-        s0 = u32(0)
-        for _ in range(8):
-            s0 = s0 + u32(0x9E3779B9)
-            v0 = v0 + (((v1 << 4) + u32(0xA341316C)) ^ (v1 + s0)
-                       ^ ((v1 >> 5) + u32(0xC8013EA4)))
-            v1 = v1 + (((v0 << 4) + u32(0xAD90777D)) ^ (v0 + s0)
-                       ^ ((v0 >> 5) + u32(0x7E95761E)))
-        state = v0
-
-        def lcg(state):
-            state = state * u32(1664525) + u32(1013904223)
-            lo = pltpu.bitcast(state & u32(0x00FFFFFF), jnp.int32)
-            return state, lo.astype(jnp.float32) / jnp.float32(0x01000000)
-
-        state, r1 = lcg(state)
-        _, r2 = lcg(state)
-        a = 2.0 * r1 - 1.0
-        b = 2.0 * r2 - 1.0
-        use_a = (a * a) > (b * b)
-        safe_a = jnp.where(a == 0.0, 1.0, a)
-        safe_b = jnp.where(b == 0.0, 1.0, b)
-        r = jnp.where(use_a, a, b)
-        phi = jnp.where(use_a, (jnp.pi / 4.0) * (b / safe_a),
-                        (jnp.pi / 2.0) - (jnp.pi / 4.0) * (a / safe_b))
-        both_zero = (a == 0.0) & (b == 0.0)
-        return (jnp.where(both_zero, 0.0, r * jnp.cos(phi)),
-                jnp.where(both_zero, 0.0, r * jnp.sin(phi)))
-
-    def kernel(tb_ref, src_ref, tblA_ref, tblB_ref, par_ref, sph_ref,
-               lin_ref, ok_ref, oid_ref, r_ref, g_ref, b_ref, a_ref,
-               z_ref):
+    def kernel(tb_ref, src_ref, tblA_ref, tblB_ref, out_ref):
         w = pl.program_id(0)
-        p = lambda k: par_ref[0, k]
-
         src = src_ref[0]                                # [1, C] f32
         base = (tb_ref[w] * _TS_CHUNK).astype(jnp.float32)
         local = src - base                              # in [0, _TS_WIN)
@@ -852,101 +901,14 @@ def build_po_table_splat_kernel(lens: PolyLens, iterations: int,
         ).astype(jnp.float32)
         onehot = jnp.where(rows == local, 1.0, 0.0)     # [WIN, C]
         win = jnp.concatenate([tblA_ref[:], tblB_ref[:]], 1)  # [16, WIN]
-        vals = jax.lax.dot_general(
+        out_ref[0] = jax.lax.dot_general(
             win, onehot, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )                                               # [16, C]
 
-        row = lambda k: vals[k:k + 1, :]                # [1, C]
-        px = row(TBL_PCX)
-        py = row(TBL_PCY)
-        pz = row(TBL_PCZ)
-
-        # seed/counter from table ints (exact: pixel coords < 2^12,
-        # queue offsets guarded < 2^24)
-        pxi = pltpu.bitcast(row(TBL_PX).astype(jnp.int32), jnp.uint32)
-        pyi = pltpu.bitcast(row(TBL_PY).astype(jnp.int32), jnp.uint32)
-        seed = pxi * pyi + pxi
-        q = (w * _TS_CHUNK + jax.lax.broadcasted_iota(
-            jnp.int32, (1, _TS_CHUNK), 1)).astype(jnp.float32)
-        lane = q - row(TBL_START)
-        ctr = pltpu.bitcast(
-            jnp.maximum(lane, 0.0).astype(jnp.int32), jnp.uint32
-        )
-
-        dx_, dy_ = _sample_disk(seed, ctr)
-        ax = dx_ * p(_SP_AP_RADIUS)
-        ay = dy_ * p(_SP_AP_RADIUS)
-        lam = jnp.zeros_like(px) + p(_SP_LAMBDA)
-
-        x, y, dx, dy, trans = solve(
-            px * -10.0, py * -10.0, pz * -10.0, ax, ay, lam
-        )
-        ipx = x + dx * bfl
-        ipy = y + dy * bfl
-        inner_ok = ipx * ipx + ipy * ipy <= r_inner2
-
-        shift = p(_SP_SHIFT)
-        hsw = p(_SP_HSW)
-        sx = (x + dx * -shift) / hsw
-        sy = (y + dy * -shift) / hsw * p(_SP_ASPECT)
-        pixel_x = (sx + 1.0) * 0.5 * p(_SP_XRES) - p(_SP_RMINX)
-        pixel_y = (-sy + 1.0) * 0.5 * p(_SP_YRES) - p(_SP_RMINY)
-        xr = p(_SP_XRES_R)
-        yr = p(_SP_YRES_R)
-        in_bounds = ((pixel_x >= 0.0) & (pixel_x < xr)
-                     & (pixel_y >= 0.0) & (pixel_y < yr))
-        px_i = jnp.clip(jnp.floor(pixel_x), 0.0, xr - 1.0)
-        py_i = jnp.clip(jnp.floor(pixel_y), 0.0, yr - 1.0)
-        lin = py_i * xr + px_i
-        lin_ref[0] = jnp.where(jnp.isfinite(lin), lin, 0.0).astype(jnp.int32)
-
-        inv_unit = p(_SP_INV_UNIT)
-        lcx = -ax * 0.1 * inv_unit
-        lcy = -ay * 0.1 * inv_unit
-        cwx = p(_SP_ROT + 0) * lcx + p(_SP_ROT + 1) * lcy + p(_SP_TRANS + 0)
-        cwy = p(_SP_ROT + 3) * lcx + p(_SP_ROT + 4) * lcy + p(_SP_TRANS + 1)
-        cwz = p(_SP_ROT + 6) * lcx + p(_SP_ROT + 7) * lcy + p(_SP_TRANS + 2)
-        pwx = row(TBL_PWX)
-        pwy = row(TBL_PWY)
-        pwz = row(TBL_PWZ)
-        segx = cwx - pwx
-        segy = cwy - pwy
-        segz = cwz - pwz
-        dist = jnp.sqrt(
-            jnp.maximum(segx * segx + segy * segy + segz * segz, 1e-24))
-        inv_d = 1.0 / dist
-        ddx = segx * inv_d
-        ddy = segy * inv_d
-        ddz = segz * inv_d
-        occ = jnp.zeros_like(px, dtype=bool)
-        for i in range(n_spheres):
-            ocx = pwx - sph_ref[i, 0]
-            ocy = pwy - sph_ref[i, 1]
-            ocz = pwz - sph_ref[i, 2]
-            r_s = sph_ref[i, 3]
-            bq = ocx * ddx + ocy * ddy + ocz * ddz
-            cq = ocx * ocx + ocy * ocy + ocz * ocz - r_s * r_s
-            disc = bq * bq - cq
-            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-            t0 = -bq - sq
-            t1 = -bq + sq
-            t = jnp.where(t0 > t_min, t0, t1)
-            occ = occ | ((disc > 0.0) & (t > t_min) & (t < dist - t_min))
-        occ = occ & (row(TBL_SKY) < 0.5)
-
-        ok = (trans > 0.0) & inner_ok & in_bounds & ~occ
-        ok_ref[0] = ok.astype(jnp.float32)
-        oid_ref[0] = row(TBL_OID).astype(jnp.int32)
-        r_ref[0] = row(TBL_R)
-        g_ref[0] = row(TBL_G)
-        b_ref[0] = row(TBL_B)
-        a_ref[0] = row(TBL_A)
-        z_ref[0] = row(TBL_Z)
-
     @jax.jit
-    def fn(src_c, table, tb, params, spheres):
+    def fn(src_c, table, tb):
         s = src_c.shape[0]
         n_chunks = -(-s // _TS_CHUNK)
         s_pad = n_chunks * _TS_CHUNK
@@ -955,11 +917,6 @@ def build_po_table_splat_kernel(lens: PolyLens, iterations: int,
         nt = table.shape[1]
         n_tblocks = nt // _TS_CHUNK
         tb = jnp.clip(tb, 0, n_tblocks - 1)
-        tb2 = jnp.minimum(tb + 1, n_tblocks - 1)
-
-        lane_out = pl.BlockSpec((1, 1, _TS_CHUNK),
-                                lambda w, tbr: (w, 0, 0),
-                                memory_space=pltpu.VMEM)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(n_chunks,),
@@ -973,63 +930,200 @@ def build_po_table_splat_kernel(lens: PolyLens, iterations: int,
                              lambda w, tbr: (0, jnp.minimum(
                                  tbr[w] + 1, nt // _TS_CHUNK - 1)),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, SPLAT_PARAM_COUNT),
-                             lambda w, tbr: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((n_spheres, 4), lambda w, tbr: (0, 0),
-                             memory_space=pltpu.VMEM),
             ],
-            out_specs=[lane_out] * 8,
+            out_specs=pl.BlockSpec(
+                (1, TBL_ROWS, _TS_CHUNK), lambda w, tbr: (w, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
         )
-        outs = pl.pallas_call(
+        out = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
-            out_shape=(
-                [jax.ShapeDtypeStruct((n_chunks, 1, _TS_CHUNK), jnp.int32)]
-                + [jax.ShapeDtypeStruct((n_chunks, 1, _TS_CHUNK),
-                                        jnp.float32)]
-                + [jax.ShapeDtypeStruct((n_chunks, 1, _TS_CHUNK), jnp.int32)]
-                + [jax.ShapeDtypeStruct((n_chunks, 1, _TS_CHUNK),
-                                        jnp.float32)] * 5
+            out_shape=jax.ShapeDtypeStruct(
+                (n_chunks, TBL_ROWS, _TS_CHUNK), jnp.float32
             ),
             interpret=interpret,
-        )(tb, src_p, table, table, params, spheres)
-        return tuple(o.reshape(-1)[:s] for o in outs)
+        )(tb, src_p, table, table)
+        return out.transpose(1, 0, 2).reshape(TBL_ROWS, s_pad)[:, :s]
 
     return fn
 
 
-_TABLE_KERNEL_CACHE: dict = {}
-_TABLE_KERNEL_BY_NAME: dict = {}
+def build_tl_splat_kernel(n_spheres: int, abb_spherical: float = 0.5,
+                          circle_to_square: float = 0.01,
+                          interpret: bool = False):
+    """Fused thin-lens backward SPLAT kernel (VERDICT r5 item #2).
+
+    Closed-form port of ``thinlens_backward_project``
+    (render/splat.py:263-407; ref ``src/lentil_filter.cpp:311-446`` — and
+    the TPU realization of the reference's own CUDA prototype,
+    ``src/cuda_prototype/lentil_thin_lens_bokeh_cuda.cu:211-277``): in-
+    kernel TEA/LCG aperture sampling (bit-exact with the pure path's first
+    two uniforms) with the spherical-aberration bias and squircle lerp
+    strengths baked as immediates, thin-lens projection to the sensor,
+    pixel mapping and the analytic sphere occlusion probe, all at [8, 128]
+    vector layout.  The coma / chromatic / optical-vignetting / distortion
+    variants keep the decomposed path (splat_frame gates on them).
+
+    Returns ``fn(px, py, pz, pwx, pwy, pwz, seed, ctr, skyf, params,
+    spheres) -> (lin int32, ok bool)`` on flat arrays; ``params`` is
+    :func:`splat_kernel_params`, positions are camera-space filter units.
+    """
+    t_min = 1e-3
+
+    def kernel(px_ref, py_ref, pz_ref, pwx_ref, pwy_ref, pwz_ref,
+               seed_ref, ctr_ref, sky_ref, par_ref, sph_ref,
+               lin_ref, ok_ref):
+        px = px_ref[:]
+        py = py_ref[:]
+        pz = pz_ref[:]
+        p = lambda k: par_ref[0, k]
+
+        ux, uy = _tea_concentric_disk_aberrated(
+            seed_ref[:], ctr_ref[:], abb_spherical, circle_to_square
+        )
+        ux = ux * p(_SP_TL_ANAM)
+        ap = p(_SP_TL_APR)
+        lx = ux * ap
+        ly = uy * ap
+
+        f = p(_SP_TL_F)
+        idfd = p(_SP_TL_IDFD)
+        # image distance of the sample depth (ref src/lentil.h:665-671)
+        ids = (-f * pz) / (-f + pz)
+        pn = jnp.sqrt(jnp.maximum(px * px + py * py + pz * pz, 1e-24))
+        dfcz = pz / pn
+        t_sp = jnp.abs(ids / dfcz)
+        sipx = (px / pn) * t_sp
+        sipy = (py / pn) * t_sp
+        sipz = dfcz * t_sp
+        dlx = sipx - lx
+        dly = sipy - ly
+        dlz = sipz
+        # fip = lens + normalize(dl) * |idfd / (dlz/|dl|)| — the norms
+        # cancel, leaving lens + dl * |idfd / dlz|
+        s = jnp.abs(idfd / jnp.where(jnp.abs(dlz) < 1e-12, 1e-12, dlz))
+        fipx = lx + dlx * s
+        fipy = ly + dly * s
+        fipz = dlz * s
+        sens = -f / p(_SP_HSW)
+        fipz_safe = jnp.where(jnp.abs(fipz) < 1e-12, 1e-12, fipz)
+        sx = fipx / fipz_safe * sens
+        sy = fipy / fipz_safe * sens * p(_SP_ASPECT)
+        pixel_x = (sx + 1.0) * 0.5 * p(_SP_XRES) - p(_SP_RMINX)
+        pixel_y = (-sy + 1.0) * 0.5 * p(_SP_YRES) - p(_SP_RMINY)
+        xr = p(_SP_XRES_R)
+        yr = p(_SP_YRES_R)
+        in_bounds = (
+            (pixel_x >= 0.0) & (pixel_x < xr)
+            & (pixel_y >= 0.0) & (pixel_y < yr)
+        )
+        px_i = jnp.clip(jnp.floor(pixel_x), 0.0, xr - 1.0)
+        py_i = jnp.clip(jnp.floor(pixel_y), 0.0, yr - 1.0)
+        lin = py_i * xr + px_i
+        lin_ref[:] = jnp.where(jnp.isfinite(lin), lin, 0.0).astype(jnp.int32)
+
+        # occlusion probe from the world-space lens point (the thin-lens
+        # path probes from the actual aperture sample, splat.py lens_cs)
+        inv_unit = p(_SP_INV_UNIT)
+        lcx = lx * inv_unit
+        lcy = ly * inv_unit
+        cwx = p(_SP_ROT + 0) * lcx + p(_SP_ROT + 1) * lcy + p(_SP_TRANS + 0)
+        cwy = p(_SP_ROT + 3) * lcx + p(_SP_ROT + 4) * lcy + p(_SP_TRANS + 1)
+        cwz = p(_SP_ROT + 6) * lcx + p(_SP_ROT + 7) * lcy + p(_SP_TRANS + 2)
+        occ = _occlude_spheres(
+            pwx_ref[:], pwy_ref[:], pwz_ref[:], cwx, cwy, cwz, sph_ref,
+            n_spheres, t_min,
+        )
+        occ = occ & (sky_ref[:] < 0.5)
+        ok = in_bounds & ~occ
+        ok_ref[:] = ok.astype(jnp.float32)
+
+    @jax.jit
+    def fn(px, py, pz, pwx, pwy, pwz, seed, ctr, skyf, params, spheres):
+        n = px.shape[0]
+        n_pad = ((n + TILE - 1) // TILE) * TILE
+        pad = lambda v: jnp.pad(v, (0, n_pad - n)).reshape(-1, LANE)
+        rows = n_pad // LANE
+        grid = rows // SUBLANE
+        spec = pl.BlockSpec((SUBLANE, LANE), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+        bspec = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
+                                           memory_space=pltpu.VMEM)
+        lin, ok = pl.pallas_call(
+            kernel,
+            grid=(grid,),
+            in_specs=[spec] * 9 + [
+                bspec((1, SPLAT_PARAM_COUNT)),
+                bspec((n_spheres, 4)),
+            ],
+            out_specs=[spec] * 2,
+            out_shape=[
+                jax.ShapeDtypeStruct((rows, LANE), jnp.int32),
+                jax.ShapeDtypeStruct((rows, LANE), jnp.float32),
+            ],
+            interpret=interpret,
+        )(pad(px), pad(py), pad(pz), pad(pwx), pad(pwy), pad(pwz),
+          pad(seed), pad(ctr), pad(skyf), params, spheres)
+        return lin.reshape(-1)[:n], ok.reshape(-1)[:n] > 0.5
+
+    return fn
 
 
-def resolve_table_splat_kernel(lens: PolyLens, iterations: int,
-                               n_spheres: int, use_pallas: bool = True):
-    """Tracer-aware resolver for the table splat kernel (same contract as
-    :func:`resolve_splat_kernel`)."""
+_EXPAND_KERNEL: list = []
+
+
+def _interpret_override() -> bool:
+    """POTA_SPLAT_INTERPRET=1 runs every splat kernel in Pallas interpret
+    mode on the CPU backend — the CI parity hook for the TPU-only pipeline
+    (VERDICT r4 weak #2: the production splat path must fail tests on CPU
+    when broken, not only on-chip scripts)."""
     import os
 
-    import jax.core
+    return bool(os.environ.get("POTA_SPLAT_INTERPRET"))
+
+
+def resolve_expand_kernel(use_pallas: bool = True):
+    """Return the (lens-independent) expand kernel, or None on CPU."""
+    import os
 
     if not use_pallas or os.environ.get("POTA_DISABLE_PALLAS"):
         return None
     if os.environ.get("POTA_DISABLE_TABLE_SPLAT"):
         return None
-    if jax.default_backend() == "cpu":
+    interp = _interpret_override()
+    if jax.default_backend() == "cpu" and not interp:
         return None
-    name_key = (lens.name, iterations, n_spheres)
-    if isinstance(lens.pt.coeffs, jax.core.Tracer):
-        ent = _TABLE_KERNEL_BY_NAME.get(name_key)
-        return ent[1] if ent is not None else None
-    digest = lens_digest(lens)
-    if digest is None:
+    key = 1 if interp else 0
+    while len(_EXPAND_KERNEL) < 2:
+        _EXPAND_KERNEL.append(None)
+    if _EXPAND_KERNEL[key] is None:
+        _EXPAND_KERNEL[key] = build_expand_kernel(interpret=interp)
+    return _EXPAND_KERNEL[key]
+
+
+_TL_SPLAT_KERNEL_CACHE: dict = {}
+
+
+def resolve_tl_splat_kernel(cfg, n_spheres: int, use_pallas: bool = True):
+    """Resolver for the thin-lens splat kernel (statics come from cfg, so
+    there is no tracer fallback to worry about)."""
+    import os
+
+    if not use_pallas or os.environ.get("POTA_DISABLE_PALLAS"):
         return None
-    key = (lens.name, digest, iterations, n_spheres)
-    kern = _TABLE_KERNEL_CACHE.get(key)
+    if os.environ.get("POTA_DISABLE_FUSED_SPLAT"):
+        return None
+    interp = _interpret_override()
+    if jax.default_backend() == "cpu" and not interp:
+        return None
+    key = (n_spheres, float(cfg.effective_abb_spherical),
+           float(cfg.effective_circle_to_square), interp)
+    kern = _TL_SPLAT_KERNEL_CACHE.get(key)
     if kern is None:
-        kern = build_po_table_splat_kernel(lens, iterations, n_spheres)
-        _TABLE_KERNEL_CACHE[key] = kern
-    _TABLE_KERNEL_BY_NAME[name_key] = (digest, kern)
+        kern = build_tl_splat_kernel(n_spheres, key[1], key[2],
+                                     interpret=interp)
+        _TL_SPLAT_KERNEL_CACHE[key] = kern
     return kern
 
 
@@ -1089,7 +1183,8 @@ _SPLAT_KERNEL_BY_NAME: dict = {}
 
 def resolve_splat_kernel(lens: PolyLens, iterations: int, n_spheres: int,
                          use_pallas: bool = True,
-                         sample_aperture: bool = False):
+                         sample_aperture: bool = False,
+                         lam_input: bool = False):
     """Return the fused splat kernel, or None for the decomposed path.
 
     Same tracer-aware contract as :func:`resolve_backward_kernel`: inside
@@ -1103,20 +1198,25 @@ def resolve_splat_kernel(lens: PolyLens, iterations: int, n_spheres: int,
 
     if not use_pallas or os.environ.get("POTA_DISABLE_PALLAS"):
         return None
-    if jax.default_backend() == "cpu":
+    interp = _interpret_override()
+    if jax.default_backend() == "cpu" and not interp:
         return None
-    name_key = (lens.name, iterations, n_spheres, sample_aperture)
+    name_key = (lens.name, iterations, n_spheres, sample_aperture,
+                lam_input, interp)
     if isinstance(lens.pt.coeffs, jax.core.Tracer):
         ent = _SPLAT_KERNEL_BY_NAME.get(name_key)
         return ent[1] if ent is not None else None
     digest = lens_digest(lens)
     if digest is None:
         return None
-    key = (lens.name, digest, iterations, n_spheres, sample_aperture)
+    key = (lens.name, digest, iterations, n_spheres, sample_aperture,
+           lam_input, interp)
     kern = _SPLAT_KERNEL_CACHE.get(key)
     if kern is None:
         kern = build_po_splat_kernel(lens, iterations, n_spheres,
-                                     sample_aperture=sample_aperture)
+                                     sample_aperture=sample_aperture,
+                                     lam_input=lam_input,
+                                     interpret=interp)
         _SPLAT_KERNEL_CACHE[key] = kern
     _SPLAT_KERNEL_BY_NAME[name_key] = (digest, kern)
     return kern
@@ -1126,10 +1226,12 @@ def prebuild_splat_kernel(lens: PolyLens, iterations: int, n_spheres: int):
     """Eagerly build + cache the fused splat kernels (call with concrete
     coefficients BEFORE jit-tracing a render — inside jit the resolver can
     only find kernels prebuilt under the static lens name)."""
-    if jax.default_backend() == "cpu":
+    if jax.default_backend() == "cpu" and not _interpret_override():
         return
     resolve_splat_kernel(lens, iterations, n_spheres, True,
                          sample_aperture=False)
     resolve_splat_kernel(lens, iterations, n_spheres, True,
                          sample_aperture=True)
-    resolve_table_splat_kernel(lens, iterations, n_spheres, True)
+    resolve_splat_kernel(lens, iterations, n_spheres, True,
+                         sample_aperture=True, lam_input=True)
+    resolve_expand_kernel(True)

@@ -27,8 +27,8 @@ def sample_aperture(cfg: CameraConfig, r1, r2, bokeh_cdf=None):
     (see :mod:`pota_tpu.render.bokeh_image`).
     """
     if cfg.bokeh_enable_image and bokeh_cdf is not None:
-        from ..render.bokeh_image import bokeh_sample
-        return bokeh_sample(bokeh_cdf, r1, r2)
+        from ..render.bokeh_image import bokeh_sample_alias
+        return bokeh_sample_alias(bokeh_cdf, r1, r2)
     if cfg.aperture_blades < 2:
         return samplers.concentric_disk_sample_aberrated(
             r1, r2, cfg.effective_abb_spherical, cfg.effective_circle_to_square

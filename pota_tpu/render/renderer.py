@@ -168,10 +168,31 @@ def render_sample_stream(cfg: CameraConfig, rc: RenderConfig, scene,
     the pixel bookkeeping needed by the filter stage.
     """
     samples = sampling.frame_samples(rc, seed)
-    origin_cs, dir_cs, weight = trace_camera_rays(
-        cfg, samples, po_lens=po_lens, bokeh_cdf=bokeh_cdf,
-        po_state=po_state, use_pallas=use_pallas,
-    )
+    n = samples["sx"].shape[0]
+    tc = cfg.trace_chunks
+    if tc > 1 and n % tc == 0:
+        # chunk + remat the forward trace: the pure-path aperture solve
+        # holds a [chunk, K, T] monomial temp (16 GB at 4K unchunked) and
+        # the backward pass recomputes it instead of saving per chunk —
+        # what lets the 4K differentiable step (BASELINE config 5) fit HBM
+        from .splat import _map_chunks
+
+        def _trace(sx, sy, r1, r2, key):
+            sub = {"sx": sx, "sy": sy, "r1": r1, "r2": r2, "key": key}
+            return trace_camera_rays(
+                cfg, sub, po_lens=po_lens, bokeh_cdf=bokeh_cdf,
+                po_state=po_state, use_pallas=use_pallas,
+            )
+
+        origin_cs, dir_cs, weight = _map_chunks(
+            _trace, tc, samples["sx"], samples["sy"], samples["r1"],
+            samples["r2"], samples["key"], remat=True,
+        )
+    else:
+        origin_cs, dir_cs, weight = trace_camera_rays(
+            cfg, samples, po_lens=po_lens, bokeh_cdf=bokeh_cdf,
+            po_state=po_state, use_pallas=use_pallas,
+        )
     if cam_to_world_end is not None:
         m = interp_camera_matrix(cam_to_world, cam_to_world_end,
                                  samples["time"])

@@ -70,6 +70,11 @@ def _sorted_accum_enabled(cfg: CameraConfig, use_pallas: bool) -> bool:
     )
 
 
+# which splat path the last splat_frame TRACE took ("expanded" / "fused" /
+# "decomposed") — a test probe, set at trace time
+_LAST_PATH = None
+
+
 def world_to_camera(cam_to_world):
     rot = cam_to_world[:3, :3]
     trans = cam_to_world[:3, 3]
@@ -118,6 +123,11 @@ def compute_gates_and_budget(cfg: CameraConfig, rc: RenderConfig, stream,
         redistribute = jnp.ones_like(z, dtype=bool)
         if inv_density > 0.2 and rc.enforce_aa_gate:
             redistribute = jnp.zeros_like(z, dtype=bool)
+    # bidirectional hard-disable: no DoF or a zero sample multiplier turn
+    # redistribution off entirely (ref get_bidirectional_status,
+    # src/lentil.h:1151-1174)
+    if not cfg.enable_dof or cfg.bidir_sample_mult <= 0:
+        redistribute = jnp.zeros_like(z, dtype=bool)
 
     sky = (z >= 1e29) | (jnp.linalg.norm(stream["P"], axis=-1) < 1e-7)
     if cfg.enable_skydome:
@@ -163,7 +173,7 @@ def compute_gates_and_budget(cfg: CameraConfig, rc: RenderConfig, stream,
     return redistribute, budget, coc, sky
 
 
-def _map_chunks(fn, n_chunks: int, *args):
+def _map_chunks(fn, n_chunks: int, *args, remat: bool = False):
     """Run ``fn`` over the leading (queue) dimension in sequential chunks.
 
     ``lax.map`` over [n_chunks, S/n_chunks, ...] reshapes: the chunk body's
@@ -171,16 +181,24 @@ def _map_chunks(fn, n_chunks: int, *args):
     only ever exist at chunk size, capping HBM temp pressure at ~1/n_chunks
     of the fused single-pass form.  Falls back to one pass when the queue
     doesn't divide (or chunking is off).
+
+    ``remat``: wrap the chunk body in ``jax.checkpoint`` so a backward pass
+    RECOMPUTES the chunk's internals (monomial tensors, Newton tangents)
+    instead of saving them per chunk — without it, lax.map stacks every
+    chunk's residuals and the differentiable 4K splat is right back at the
+    unchunked [S, T] footprint.  Free for inference (checkpoint is identity
+    without differentiation).
     """
     s = args[0].shape[0]
     if n_chunks <= 1 or s % n_chunks != 0:
         return fn(*args)
     c = s // n_chunks
+    body = jax.checkpoint(fn) if remat else fn
 
     def reshape_in(a):
         return a.reshape((n_chunks, c) + a.shape[1:])
 
-    out = jax.lax.map(lambda xs: fn(*xs), tuple(reshape_in(a) for a in args))
+    out = jax.lax.map(lambda xs: body(*xs), tuple(reshape_in(a) for a in args))
     return jax.tree_util.tree_map(
         lambda a: a.reshape((s,) + a.shape[2:]), out
     )
@@ -229,26 +247,27 @@ def splat_queue(budget, redistribute, rays_per_count: int, queue_size: int):
     return src, lane, slot_on, slots
 
 
-def splat_queue_compact(budget, redistribute, queue_size: int):
+def splat_queue_compact(budget, redistribute, queue_size: int,
+                        rays_per_count: int = 1):
     """:func:`splat_queue` variant emitting COMPACT source ids.
 
     Marks are dropped for zero-slot sources, so ``src`` numbers only the
     slot-owning sources consecutively — a 512-slot chunk then spans at
-    most 512 table rows, which is what lets the table splat kernel
-    (ops/po_pallas.py build_po_table_splat_kernel) window its one-hot
-    gather.  The slot layout is IDENTICAL to :func:`splat_queue` (same
-    offsets/slot_on); only the source numbering differs.  Lane indices are
-    not computed here (the kernel derives them from the table's start
-    column — the ``starts[src]`` gather was one of the r4 hot gathers).
+    most 512 table rows, which is what lets the expand kernel
+    (ops/po_pallas.py build_expand_kernel) window its one-hot gather.  The
+    slot layout is IDENTICAL to :func:`splat_queue` (same offsets/slot_on);
+    only the source numbering differs.  Lane indices are not computed here
+    (derived downstream from the table's start column — the ``starts[src]``
+    gather was one of the r4 hot gathers).
     """
     n = budget.shape[0]
-    slots = jnp.where(redistribute, budget, 0)
+    slots = jnp.where(redistribute, budget * rays_per_count, 0)
     total = jnp.sum(slots.astype(jnp.float32))
     scale = jnp.minimum(
         1.0, (queue_size * (1.0 - 1e-6)) / jnp.maximum(total, 1.0)
     )
     scaled = jnp.floor(slots.astype(jnp.float32) * scale).astype(jnp.int32)
-    slots = jnp.where(slots > 0, jnp.maximum(scaled, 1), 0)
+    slots = jnp.where(slots > 0, jnp.maximum(scaled, rays_per_count), 0)
     offsets = jnp.cumsum(slots)
     starts = offsets - slots
     q = jnp.arange(queue_size, dtype=jnp.int32)
@@ -275,8 +294,8 @@ def thinlens_backward_project(cfg: CameraConfig, rc: RenderConfig,
     r1, r2, r3, r4, r5, _ = (u[..., i] for i in range(6))
 
     if cfg.bokeh_enable_image and bokeh_cdf is not None:
-        from .bokeh_image import bokeh_sample
-        unit_disk = bokeh_sample(bokeh_cdf, r1, r2)
+        from .bokeh_image import bokeh_sample_alias
+        unit_disk = bokeh_sample_alias(bokeh_cdf, r1, r2)
     elif cfg.aperture_blades < 2:
         unit_disk = samplers.concentric_disk_sample_aberrated(
             r1, r2, cfg.effective_abb_spherical, cfg.effective_circle_to_square
@@ -434,6 +453,7 @@ def splat_frame(cfg: CameraConfig, rc: RenderConfig, scene, stream,
     """
     from .aov import CLOSEST, DEFAULT_AOVS, GAUSSIAN, aov_value_rgba
 
+    global _LAST_PATH
     if aovs is None:
         aovs = DEFAULT_AOVS
     n = stream["rgba"].shape[0]
@@ -514,44 +534,74 @@ def splat_frame(cfg: CameraConfig, rc: RenderConfig, scene, stream,
         jnp.asarray([0.0, 0.0, -100.0], p_cam.dtype),
     )
 
-    # ---- table splat path: the gather-free pipeline ----------------------
-    # (ops/po_pallas.py build_po_table_splat_kernel — r4 profiling showed
-    # [S]-sized XLA gathers at ~1 GiB/s dominating the frame; here every
-    # per-source value rides a compact table the kernel one-hot-gathers on
-    # the MXU, and the kernel outputs the payload the sorted accumulator
-    # needs, so nothing downstream gathers by src.)
+    # ---- expanded splat path: the gather-free pipeline (v5) --------------
+    # Two kernels: the EXPAND kernel (ops/po_pallas.py build_expand_kernel)
+    # one-hot-gathers the compact per-source table to slot resolution on
+    # the MXU, then the fused splat kernel (PO v2 / TL) runs the heavy
+    # projection at full [8, 128] layout.  Every downstream per-slot value
+    # is an elementwise read of an expanded row — no [S <- N] XLA gathers
+    # anywhere (r4's fused table kernel did both in one pass, but its
+    # [1, 512] chunk layout ran the Newton solve at ~1/8 VPU utilization:
+    # 1085 ms vs ~120 ms split, r5 stage profile).
     from .aov import CLOSEST as _CLOSEST, GAUSSIAN as _GAUSSIAN
 
     _gauss_names = [s.name for s in aovs if s.filter == _GAUSSIAN]
-    table_kern = None
-    if (cfg.camera_type == CameraType.POLYNOMIAL_OPTICS
-            and cam_to_world_end is None
+    exp_kern = splat_kern = None
+    ext_aperture = False
+    if (cam_to_world_end is None
             and hasattr(scene, "centers")
-            and fused_splat and not chroma
-            and not cfg.bokeh_enable_image and cfg.aperture_blades <= 2
+            and fused_splat
             and n_crypto_ids == 0
             and _gauss_names == ["RGBA"]
             and s_cap < (1 << 24) and n < (1 << 24)
-            and _sorted_accum_enabled(cfg, use_pallas)
             and not _os.environ.get("POTA_DISABLE_FUSED_SPLAT")):
-        from ..ops.po_pallas import resolve_table_splat_kernel
-
-        table_kern = resolve_table_splat_kernel(
-            po_lens, cfg.lt_newton_iterations, scene.n_objects, use_pallas
+        from ..ops.po_pallas import (
+            resolve_expand_kernel, resolve_splat_kernel,
+            resolve_tl_splat_kernel,
         )
 
-    if table_kern is not None:
+        exp_kern = resolve_expand_kernel(use_pallas)
+        if exp_kern is not None:
+            if cfg.camera_type == CameraType.POLYNOMIAL_OPTICS:
+                use_bokeh = cfg.bokeh_enable_image and bokeh_cdf is not None
+                # external aperture: the alias-table bokeh sampler / blade
+                # fan runs as [S] elementwise XLA (no gathers by src — the
+                # uniforms derive from expanded rows); analytic-disk
+                # apertures sample inside the kernel
+                ext_aperture = use_bokeh or cfg.aperture_blades > 2
+                splat_kern = resolve_splat_kernel(
+                    po_lens, cfg.lt_newton_iterations, scene.n_objects,
+                    use_pallas, sample_aperture=not ext_aperture,
+                    lam_input=(chroma and not ext_aperture),
+                )
+            elif (cfg.abb_coma == 0.0 and cfg.abb_chromatic == 0.0
+                    and cfg.optical_vignetting_distance == 0.0
+                    and cfg.abb_distortion == 0.0
+                    and not cfg.bokeh_enable_image
+                    and cfg.aperture_blades < 2):
+                splat_kern = resolve_tl_splat_kernel(
+                    cfg, scene.n_objects, use_pallas
+                )
+        if splat_kern is None:
+            exp_kern = None
+
+    if exp_kern is not None:
         from ..ops.po_pallas import (
-            TBL_ROWS, _TS_CHUNK, splat_kernel_params,
+            TBL_A, TBL_B, TBL_G, TBL_OID, TBL_PCX, TBL_PCY, TBL_PCZ,
+            TBL_PWX, TBL_PWY, TBL_PWZ, TBL_PX, TBL_PY, TBL_R, TBL_ROWS,
+            TBL_SKY, TBL_START, TBL_Z, _TS_CHUNK, splat_kernel_params,
         )
         from ..utils.profiling import log
 
-        log("SPLAT", "table splat kernel engaged (gather-free pipeline)",
-            once=True)
+        log("SPLAT", "expanded splat pipeline engaged "
+            f"(model={cfg.camera_type.name}, chroma={chroma}, "
+            f"ext_aperture={ext_aperture})", once=True)
+        _LAST_PATH = "expanded"
+        rpc = rays_per_count
         src, slot_on, granted = splat_queue_compact(
-            budget, redistribute, s_cap
+            budget, redistribute, s_cap, rays_per_count=rpc
         )
-        lane = counter = channel = None
+        lane = counter = None
         depth_src = jnp.abs(stream["z"])
         slot_vals = stream["rgba"] + add_energy[:, None] * jnp.asarray(
             [1.0, 1.0, 1.0, 0.0], dtype
@@ -574,14 +624,86 @@ def splat_frame(cfg: CameraConfig, rc: RenderConfig, scene, stream,
             cols16, mode="drop"
         )
         tb = (src[::_TS_CHUNK] // _TS_CHUNK).astype(jnp.int32)
+        ex = exp_kern(src.astype(dtype), table, tb)   # [16, S]
+
+        # per-slot elementwise derivations from expanded rows
+        s_q_ = src.shape[0]
+        lane_i = (
+            jnp.arange(s_q_, dtype=jnp.int32) - ex[TBL_START].astype(jnp.int32)
+        )
+        lane_i = jnp.maximum(lane_i, 0)
+        if chroma:
+            ctr_i = lane_i // 3
+            channel = lane_i - 3 * ctr_i
+            ca = cfg.abb_chromatic
+            lam_tab = jnp.asarray(
+                [0.35 + (1.0 - ca) * 0.2, 0.55, 0.55 + ca * 0.3], dtype
+            )
+            lam_q = lam_tab[channel]
+        else:
+            ctr_i = lane_i
+            channel = None
+        seed_u = (
+            ex[TBL_PX].astype(jnp.uint32) * ex[TBL_PY].astype(jnp.uint32)
+            + ex[TBL_PX].astype(jnp.uint32)
+        )
+        ctr_u = ctr_i.astype(jnp.uint32)
         params = splat_kernel_params(cfg, rc, po_state, cam_to_world)
         spheres = jnp.concatenate(
             [scene.centers, scene.radii[:, None]], -1
         ).astype(jnp.float32)
-        (lin_splat, ok_f, oid, k_r, k_g, k_b, k_a, k_z) = table_kern(
-            src.astype(dtype), table, tb, params, spheres
-        )
-        valid = slot_on & (ok_f > 0.5)
+        pcx, pcy, pcz = ex[TBL_PCX], ex[TBL_PCY], ex[TBL_PCZ]
+        pwx, pwy, pwz = ex[TBL_PWX], ex[TBL_PWY], ex[TBL_PWZ]
+        skyf = ex[TBL_SKY]
+        if cfg.camera_type == CameraType.POLYNOMIAL_OPTICS:
+            if ext_aperture:
+                u = prng.uniforms(seed_u, ctr_u, 2)
+                r1, r2 = u[..., 0], u[..., 1]
+                if cfg.bokeh_enable_image and bokeh_cdf is not None:
+                    from .bokeh_image import bokeh_sample_alias
+                    unit_disk = bokeh_sample_alias(bokeh_cdf, r1, r2)
+                else:
+                    from ..optics import samplers as smp
+                    unit_disk = smp.triangular_aperture_sample(
+                        r1, r2, 1.0, cfg.aperture_blades
+                    )
+                aperture = unit_disk * po_state.aperture_radius
+                if not chroma:
+                    lam_q = jnp.full(src.shape, cfg.lambda_um, dtype)
+                lin_splat, ok = splat_kern(
+                    pcx, pcy, pcz, pwx, pwy, pwz,
+                    aperture[..., 0], aperture[..., 1], lam_q, skyf,
+                    params, spheres,
+                )
+            elif chroma:
+                lin_splat, ok = splat_kern(
+                    pcx, pcy, pcz, pwx, pwy, pwz, seed_u, ctr_u, lam_q,
+                    skyf, params, spheres,
+                )
+            else:
+                lam_dummy = jnp.zeros((1, 1), jnp.float32)
+                lin_splat, ok = splat_kern(
+                    pcx, pcy, pcz, pwx, pwy, pwz, seed_u, ctr_u, lam_dummy,
+                    skyf, params, spheres,
+                )
+        else:
+            lin_splat, ok = splat_kern(
+                pcx, pcy, pcz, pwx, pwy, pwz, seed_u, ctr_u, skyf,
+                params, spheres,
+            )
+        valid = slot_on & ok
+        oid = ex[TBL_OID].astype(jnp.int32)
+        k_z = ex[TBL_Z]
+        if chroma:
+            # channel weights (3,0,0)/(0,3,0)/(0,0,3): fold into the
+            # payload columns (ref src/lentil_filter.cpp:255-267)
+            chf = channel.astype(dtype)
+            k_r = ex[TBL_R] * 3.0 * (chf == 0.0)
+            k_g = ex[TBL_G] * 3.0 * (chf == 1.0)
+            k_b = ex[TBL_B] * 3.0 * (chf == 2.0)
+        else:
+            k_r, k_g, k_b = ex[TBL_R], ex[TBL_G], ex[TBL_B]
+        k_a = ex[TBL_A]
         proj = {"rgb_weight": jnp.ones(src.shape + (3,), dtype)}
     else:
         oid = k_z = None
@@ -604,7 +726,7 @@ def splat_frame(cfg: CameraConfig, rc: RenderConfig, scene, stream,
     # probe in one per-lens Pallas kernel (ops/po_pallas.py
     # build_po_splat_kernel) — replaces three [S]-materialized stages.
     fused_kern = None
-    if (table_kern is None
+    if (exp_kern is None
             and cfg.camera_type == CameraType.POLYNOMIAL_OPTICS
             and cam_to_world_end is None
             and hasattr(scene, "centers")
@@ -621,21 +743,22 @@ def splat_frame(cfg: CameraConfig, rc: RenderConfig, scene, stream,
             sample_aperture=sample_in_kernel,
         )
 
-    if (table_kern is None and fused_kern is None and use_pallas
+    if (exp_kern is None and fused_kern is None and use_pallas
             and cfg.camera_type == CameraType.POLYNOMIAL_OPTICS
             and jax.default_backend() != "cpu"):
         from ..utils.profiling import log
 
         log("SPLAT", "fused splat kernel NOT engaged (not prebuilt for "
             f"this lens/scene?) — decomposed path", once=True)
-    if table_kern is not None:
-        pass  # projection + occlusion already done by the table kernel
+    if exp_kern is not None:
+        pass  # projection + occlusion already done by the expanded pipeline
     elif fused_kern is not None:
         from ..ops.po_pallas import splat_kernel_params
         from ..utils.profiling import log
 
         log("SPLAT", "fused backward splat kernel engaged "
             f"(in-kernel sampling={sample_in_kernel})", once=True)
+        _LAST_PATH = "fused"
         params = splat_kernel_params(cfg, rc, po_state, cam_to_world)
         spheres = jnp.concatenate(
             [scene.centers, scene.radii[:, None]], -1
@@ -671,6 +794,7 @@ def splat_frame(cfg: CameraConfig, rc: RenderConfig, scene, stream,
         valid = slot_on & ok & redistribute[src]
         proj = {"rgb_weight": rgb_w}
     else:
+        _LAST_PATH = "decomposed"
         if cfg.camera_type == CameraType.POLYNOMIAL_OPTICS:
             if channel is not None:
                 proj = _map_chunks(
@@ -679,6 +803,7 @@ def splat_frame(cfg: CameraConfig, rc: RenderConfig, scene, stream,
                         bokeh_cdf=bokeh_cdf, use_pallas=use_pallas,
                     ),
                     cfg.splat_chunks, p_cam_q, seed_q, counter, channel,
+                    remat=True,
                 )
             else:
                 proj = _map_chunks(
@@ -687,6 +812,7 @@ def splat_frame(cfg: CameraConfig, rc: RenderConfig, scene, stream,
                         bokeh_cdf=bokeh_cdf, use_pallas=use_pallas,
                     ),
                     cfg.splat_chunks, p_cam_q, seed_q, counter,
+                    remat=True,
                 )
         else:
             proj = _map_chunks(
@@ -694,6 +820,7 @@ def splat_frame(cfg: CameraConfig, rc: RenderConfig, scene, stream,
                     cfg, rc, p, s, k, bokeh_cdf=bokeh_cdf,
                 ),
                 cfg.splat_chunks, p_cam_q, seed_q, counter,
+                remat=True,
             )
         if not cfg.differentiate_splat_geometry:
             proj = jax.tree_util.tree_map(jax.lax.stop_gradient, proj)
@@ -719,7 +846,7 @@ def splat_frame(cfg: CameraConfig, rc: RenderConfig, scene, stream,
         p_ws_q = p_ws[src]
         occluded = _map_chunks(
             lambda a, b: scene.occluded(a, b),
-            cfg.splat_chunks, p_ws_q, cam_pos_ws,
+            cfg.splat_chunks, p_ws_q, cam_pos_ws, remat=True,
         )
         occluded = occluded & ~sky[src]
 
@@ -753,7 +880,7 @@ def splat_frame(cfg: CameraConfig, rc: RenderConfig, scene, stream,
     # fall back to the source pixel when no slot succeeded
     use_source = (~redistribute) | (successes == 0)
 
-    if table_kern is None and fused_kern is None:
+    if exp_kern is None and fused_kern is None:
         px_splat = jnp.clip(
             jnp.floor(proj["pixel_x"]).astype(jnp.int32), 0, xres_r - 1
         )
@@ -767,7 +894,7 @@ def splat_frame(cfg: CameraConfig, rc: RenderConfig, scene, stream,
     )
 
     # weight chain (ref src/lentil_filter.cpp:295-298, 442-444)
-    slot_sample = oid if table_kern is not None else src
+    slot_sample = oid if exp_kern is not None else src
     w_slot = jnp.where(valid, inv_density * inv_success[slot_sample], 0.0)
     rgbw = jnp.concatenate(
         [proj["rgb_weight"], jnp.ones_like(proj["rgb_weight"][..., :1])], -1
@@ -780,8 +907,8 @@ def splat_frame(cfg: CameraConfig, rc: RenderConfig, scene, stream,
     writer_pix = jnp.concatenate([lin_splat, lin_source])
     writer_valid = jnp.concatenate([valid, use_source])
     depth_src = jnp.abs(stream["z"])
-    if table_kern is not None:
-        writer_depth = jnp.concatenate([k_z, depth_src])  # kernel output
+    if exp_kern is not None:
+        writer_depth = jnp.concatenate([k_z, depth_src])  # expanded row
     else:
         writer_depth = jnp.concatenate([depth_src[src], depth_src])
 
@@ -830,23 +957,40 @@ def splat_frame(cfg: CameraConfig, rc: RenderConfig, scene, stream,
     has_winner = None
     big = jnp.asarray(3e38, dtype)
 
-    if _sorted_accum_enabled(cfg, use_pallas):
+    # the expanded pipeline's payload columns only exist in sorted form, so
+    # it ALWAYS pairs with the sorted accumulator (including thin-lens,
+    # whose decomposed path measured faster on plain scatters — r4)
+    if exp_kern is not None or _sorted_accum_enabled(cfg, use_pallas):
         # ONE shared (pixel, depth) sort feeds both the gaussian segment
         # sums and the closest winner (ops/splat_accum.py) — replaces the
         # per-column scatter-adds + two scatter-mins below, each of which
         # XLA would sort independently.
+        import functools
+
         from ..ops.splat_accum import (
-            accumulate_presorted, accumulate_sorted, sort_writers,
-            sort_writers_with_payload,
+            accumulate_presorted as _acc_presorted,
+            accumulate_sorted as _acc_sorted,
+            sort_writers, sort_writers_with_payload,
         )
+
+        # CI hook: POTA_SPLAT_INTERPRET runs the accumulator (and, via the
+        # resolvers above, the splat kernels) in interpret mode on CPU
+        _interp = (
+            bool(_os.environ.get("POTA_SPLAT_INTERPRET"))
+            and jax.default_backend() == "cpu"
+        )
+        accumulate_presorted = functools.partial(
+            _acc_presorted, interpret=_interp
+        )
+        accumulate_sorted = functools.partial(_acc_sorted, interpret=_interp)
 
         writer_pix_s = jnp.where(writer_valid, writer_pix, npix)
         rgba_only = (
             len(gauss_specs) == 1 and gauss_specs[0].name == "RGBA"
             and channel is None
         )
-        if table_kern is not None:
-            # gather-free: the kernel already emitted the slot rgba payload
+        if exp_kern is not None:
+            # gather-free: the expanded rows carry the slot rgba payload
             # (add_energy folded at table build); the sort carries the
             # payload as passengers instead of post-sort perm gathers
             values = aov_value_rgba(stream, gauss_specs[0])
@@ -1077,8 +1221,8 @@ def _po_aperture_lambda(cfg, po_state, seeds, counter, channel=None,
     r1, r2 = u[..., 0], u[..., 1]
 
     if cfg.bokeh_enable_image and bokeh_cdf is not None:
-        from .bokeh_image import bokeh_sample
-        unit_disk = bokeh_sample(bokeh_cdf, r1, r2)
+        from .bokeh_image import bokeh_sample_alias
+        unit_disk = bokeh_sample_alias(bokeh_cdf, r1, r2)
     elif cfg.aperture_blades <= 2:
         unit_disk = smp.concentric_disk_sample(r1, r2)
     else:

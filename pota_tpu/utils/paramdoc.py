@@ -58,6 +58,7 @@ _DESCRIPTIONS = {
     "splat_queue_mult": "Splat queue capacity as a multiple of the AA sample count (static shape for XLA).",
     "lt_newton_iterations": "Newton iterations for the backward lt_sample_aperture solve.",
     "splat_chunks": "Number of sequential splat stages (bounds peak HBM at high resolution).",
+    "trace_chunks": "Number of sequential forward-trace chunks with rematerialization (bounds peak HBM for differentiable high-resolution renders).",
     "differentiate_splat_geometry": "Differentiate pixel positions/weights of splats too (heavier transpose graph).",
     # RenderConfig
     "xres": "Image width in pixels.",

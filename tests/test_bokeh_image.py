@@ -42,3 +42,43 @@ def test_uniform_disk_image_centered():
     pts = np.asarray(bokeh_sample(bi, r[:, 0], r[:, 1]))
     assert np.abs(pts.mean(0)).max() < 0.05
     assert np.linalg.norm(pts, axis=-1).max() <= 12 / 32 * 2 + 0.1
+
+
+def test_alias_matches_cdf_distribution():
+    """The Walker alias sampler draws the SAME pixel multinomial as the
+    reference-faithful sorted-CDF inversion (it replaces it in the hot
+    paths — r4 measured 1.3 s per 2M searchsorted queries on TPU)."""
+    from pota_tpu.render.bokeh_image import bokeh_sample_alias
+
+    rng = np.random.default_rng(5)
+    img = rng.uniform(size=(12, 12)) ** 3  # spiky, many distinct masses
+    bi = build_bokeh_cdf(img)
+    n = 200_000
+    r = jnp.asarray(rng.uniform(size=(n, 4)), jnp.float32)
+    pts_cdf = np.asarray(bokeh_sample(bi, r[:, 0], r[:, 1]))
+    pts_ali = np.asarray(bokeh_sample_alias(bi, r[:, 2], r[:, 3]))
+
+    # empirical per-pixel frequencies agree within sampling noise
+    def freq(pts):
+        key = (pts * 1000).round().astype(np.int64)
+        lin = key[:, 0] * 100_000 + key[:, 1]
+        u, c = np.unique(lin, return_counts=True)
+        return dict(zip(u.tolist(), (c / n).tolist()))
+
+    fa, fb = freq(pts_cdf), freq(pts_ali)
+    keys = set(fa) | set(fb)
+    worst = max(abs(fa.get(k, 0.0) - fb.get(k, 0.0)) for k in keys)
+    assert worst < 0.003, worst
+
+
+def test_alias_point_mass():
+    from pota_tpu.render.bokeh_image import bokeh_sample_alias
+
+    img = np.zeros((9, 9))
+    img[2, 7] = 1.0
+    bi = build_bokeh_cdf(img)
+    r = jnp.asarray(np.random.default_rng(0).uniform(size=(256, 2)),
+                    jnp.float32)
+    pts = np.asarray(bokeh_sample_alias(bi, r[:, 0], r[:, 1]))
+    want = np.array([(7 - 4) / 9 * 2.0, -(2 - 4) / 9 * 2.0])
+    np.testing.assert_allclose(pts, np.tile(want, (256, 1)), atol=1e-6)
