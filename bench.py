@@ -134,11 +134,21 @@ def bench_po_bokeh_chromatic(poly):
                                intensity=40.0)
     state = setup_po_camera(poly, cfg, scene=scene)
     rc = RenderConfig(xres=512, yres=512, spp=2)
-    n = 32
-    yy, xx = np.mgrid[0:n, 0:n]
-    r = np.sqrt((xx - (n - 1) / 2) ** 2 + (yy - (n - 1) / 2) ** 2) / (n / 2)
-    ring = ((r > 0.5) & (r < 0.95)).astype(np.float32)
-    cdf = build_bokeh_cdf(np.stack([ring] * 3, -1))
+    # BASELINE config 3 names the reference's shipped aperture texture
+    # (bokeh_imgs/example_bokeh_kernel.tx); use the jpg original when the
+    # reference tree is mounted, else a procedural ring
+    ref_jpg = "/root/reference/bokeh_imgs/example_bokeh_kernel.jpg"
+    if os.path.exists(ref_jpg):
+        from pota_tpu.render.bokeh_image import load_bokeh_image
+
+        cdf = load_bokeh_image(ref_jpg)
+    else:
+        n = 32
+        yy, xx = np.mgrid[0:n, 0:n]
+        r = np.sqrt(
+            (xx - (n - 1) / 2) ** 2 + (yy - (n - 1) / 2) ** 2) / (n / 2)
+        ring = ((r > 0.5) & (r < 0.95)).astype(np.float32)
+        cdf = build_bokeh_cdf(np.stack([ring] * 3, -1))
     m = look_at([0, 0, 0], [0, 0, -1])
 
     f = jax.jit(

@@ -190,7 +190,7 @@ def main(argv=None) -> int:
                 plane = np.asarray(plane)
                 for i, suffix in enumerate("RGBA"[: plane.shape[-1]]):
                     channels[f"{name}.{suffix}"] = plane[..., i]
-        if args.id_matte and fb and "crypto" in fb:
+        if args.id_matte and fb and "crypto_rank_id" in fb:
             from pota_tpu.render.splat import resolve_crypto
 
             for r, layer in enumerate(resolve_crypto(fb, ranks=3)):

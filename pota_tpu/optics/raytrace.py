@@ -80,6 +80,12 @@ class LensSystem:
     # (src/lentil.h:387-389, 1418-1424); anamorphic designs are cylindrical
     outer_chart: str = "sphere"
     inner_chart: str = "sphere"
+    # per-surface cylinder flag, rear->front (STATIC python tuple so the
+    # unrolled trace branches at build time): 0 = sphere/plane, 1 =
+    # curvature in x only (cylinder axis along y — the classic horizontal-
+    # squeeze anamorphic element), 2 = curvature in y only.  Empty = all
+    # spherical.
+    cyl_axes: tuple = ()
 
     _ARRAY_FIELDS = (
         "vertex_z", "radius", "housing", "cauchy_a_in", "cauchy_b_in",
@@ -119,9 +125,14 @@ def _paraxial_bfl_efl(rows: np.ndarray) -> tuple[float, float]:
     y = 1.0
     u = 0.0
     n = 1.0
-    for i, (radius, thickness, ior, _abbe, _housing) in enumerate(rows):
+    for i, row in enumerate(rows):
+        radius, thickness, ior = row[0], row[1], row[2]
+        cyl = int(row[5]) if len(row) > 5 else 0
         n2 = ior if ior > 0 else 1.0
-        if radius != 0.0:
+        # cylinder surfaces with curvature in x are FLAT in the y-z paraxial
+        # plane this trace runs in (anamorphic attachments are near-afocal
+        # in x, so the y-plane focus places the sensor for both axes)
+        if radius != 0.0 and cyl != 1:
             power = (n2 - n) / radius
             u = (n * u - y * power) / n2
         n = n2
@@ -139,11 +150,17 @@ def build_lens_system(rows, name: str = "unnamed",
     """Preprocess a scene->sensor prescription into a LensSystem.
 
     ``rows``: sequence of [radius, thickness, ior, abbe, housing_radius]
-    scene->sensor; thickness of the last row is ignored (the sensor sits at
-    the paraxial focus, i.e. BFL behind the rear vertex).  The aperture stop
-    is the row with radius == 0 and ior == 1 (planar air interface).
+    (+ optional 6th column: cylinder flag, 0 = sphere, 1 = curvature in x /
+    axis along y, 2 = curvature in y) scene->sensor; thickness of the last
+    row is ignored (the sensor sits at the paraxial focus, i.e. BFL behind
+    the rear vertex).  The aperture stop is the row with radius == 0 and
+    ior == 1 (planar air interface).
     """
     rows = np.asarray(rows, np.float64)
+    if rows.shape[1] > 5:
+        cyl_std = rows[:, 5].astype(int)
+    else:
+        cyl_std = np.zeros(len(rows), int)
     n_surf = len(rows)
     bfl, efl = _paraxial_bfl_efl(rows)
     assert np.isfinite(bfl) and bfl > 0, f"{name}: bad BFL {bfl}"
@@ -182,6 +199,18 @@ def build_lens_system(rows, name: str = "unnamed",
 
     fov = 2.0 * np.arctan((sensor_width * 0.5) / efl)
 
+    # cylindrical front/rear surfaces force the matching pupil chart (the
+    # reference's per-lens lens_outer/inner_pupil_geometry dispatch):
+    # curvature in x = cylinder axis along y = "cyl-y"
+    cyl_rev = tuple(int(v) for v in cyl_std[order])
+    _chart = {0: "sphere", 1: "cyl-y", 2: "cyl-x"}
+    if outer_chart == "sphere" and cyl_rev[-1]:
+        outer_chart = _chart[cyl_rev[-1]]
+    if inner_chart == "sphere" and cyl_rev[0]:
+        inner_chart = _chart[cyl_rev[0]]
+    if not any(cyl_rev):
+        cyl_rev = ()
+
     return LensSystem(
         vertex_z=jnp.asarray(vertex_z, jnp.float32),
         radius=jnp.asarray(radius_rev, jnp.float32),
@@ -205,6 +234,7 @@ def build_lens_system(rows, name: str = "unnamed",
         name=name,
         outer_chart=outer_chart,
         inner_chart=inner_chart,
+        cyl_axes=cyl_rev,
     )
 
 
@@ -215,43 +245,73 @@ def _ior(a, b, lam):
     return a + b / (lam * lam)
 
 
-def _intersect_surface(pos, direction, vertex_z, radius):
-    """Intersect rays with a spherical (or planar) surface.
+def _intersect_surface(pos, direction, vertex_z, radius, cyl: int = 0):
+    """Intersect rays with a spherical, cylindrical, or planar surface.
 
-    Picks the sphere root on the vertex side: the hit whose z-offset from the
+    ``cyl``: 0 = sphere, 1 = cylinder with curvature in x (axis along y,
+    the horizontal-squeeze anamorphic element), 2 = curvature in y (axis
+    along x).  STATIC — the trace loop unrolls per surface.
+
+    Picks the root on the vertex side: the hit whose z-offset from the
     center has the same sign as (vertex - center) = -radius.
-    Returns (t, normal) with the normal oriented against the ray (+z travel).
+    Returns (t, hit, normal, ok) with the normal oriented against the ray.
     """
     planar = radius == 0.0
     # plane
     t_plane = (vertex_z - pos[..., 2]) / direction[..., 2]
 
     center_z = vertex_z + radius
-    center = jnp.stack(
-        [jnp.zeros_like(pos[..., 0]), jnp.zeros_like(pos[..., 0]),
-         jnp.broadcast_to(center_z, pos[..., 0].shape)], -1
-    )
-    oc = pos - center
-    b = jnp.sum(oc * direction, -1)
-    c = jnp.sum(oc * oc, -1) - radius * radius
-    disc = b * b - c
+    zero = jnp.zeros_like(pos[..., 0])
+    if cyl == 0:
+        center = jnp.stack(
+            [zero, zero, jnp.broadcast_to(center_z, zero.shape)], -1
+        )
+        oc = pos - center
+        a = jnp.ones_like(zero)
+        b = jnp.sum(oc * direction, -1)
+        c = jnp.sum(oc * oc, -1) - radius * radius
+    else:
+        # 2-D circle in the curved plane; the axis coordinate free-rides
+        u = pos[..., 0] if cyl == 1 else pos[..., 1]
+        du = direction[..., 0] if cyl == 1 else direction[..., 1]
+        w = pos[..., 2] - center_z
+        dw = direction[..., 2]
+        a = du * du + dw * dw
+        b = u * du + w * dw
+        c = u * u + w * w - radius * radius
+    a_safe = jnp.where(jnp.abs(a) < 1e-12, 1e-12, a)
+    disc = b * b - a * c
     ok = disc >= 0.0
     sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-    t0 = -b - sq
-    t1 = -b + sq
+    t0 = (-b - sq) / a_safe
+    t1 = (-b + sq) / a_safe
     # hit z relative to center must have sign of -radius (vertex side)
     z0 = pos[..., 2] + t0 * direction[..., 2] - center_z
     pick0 = jnp.sign(z0) == jnp.sign(-radius)
-    t_sphere = jnp.where(pick0, t0, t1)
-    t = jnp.where(planar, t_plane, t_sphere)
-    ok = jnp.where(planar, t_plane > 0, ok & (t_sphere > 0))
+    t_curved = jnp.where(pick0, t0, t1)
+    t = jnp.where(planar, t_plane, t_curved)
+    ok = jnp.where(planar, t_plane > 0, ok & (t_curved > 0))
 
     hit = pos + t[..., None] * direction
-    n_sphere = (hit - center) / radius  # outward for R>0... orient below
+    if cyl == 0:
+        center = jnp.stack(
+            [zero, zero, jnp.broadcast_to(center_z, zero.shape)], -1
+        )
+        n_curved = (hit - center) / radius
+    elif cyl == 1:
+        n_curved = jnp.stack(
+            [hit[..., 0] / radius, zero, (hit[..., 2] - center_z) / radius],
+            -1,
+        )
+    else:
+        n_curved = jnp.stack(
+            [zero, hit[..., 1] / radius, (hit[..., 2] - center_z) / radius],
+            -1,
+        )
     n_plane = jnp.broadcast_to(
         jnp.array([0.0, 0.0, -1.0], hit.dtype), hit.shape
     )
-    normal = jnp.where(planar, n_plane, n_sphere)
+    normal = jnp.where(planar, n_plane, n_curved)
     # orient normal against the direction of travel
     flip = jnp.sum(normal * direction, -1, keepdims=True) > 0
     normal = jnp.where(flip, -normal, normal)
@@ -314,7 +374,8 @@ def trace_sensor_to_scene(lens: LensSystem, sensor_lf, aperture_radius=None):
     for k in range(n_surf):  # static unroll; K ~ 5-12 surfaces
         vz = lens.vertex_z[k]
         rad = lens.radius[k]
-        t, hit, normal, ok = _intersect_surface(pos, direction, vz, rad)
+        cyl = lens.cyl_axes[k] if lens.cyl_axes else 0
+        t, hit, normal, ok = _intersect_surface(pos, direction, vz, rad, cyl)
         r2 = hit[..., 0] ** 2 + hit[..., 1] ** 2
         inside = r2 <= lens.housing[k] ** 2
         if k == lens.aperture_index:  # static branch per lens

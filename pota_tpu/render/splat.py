@@ -551,7 +551,6 @@ def splat_frame(cfg: CameraConfig, rc: RenderConfig, scene, stream,
     if (cam_to_world_end is None
             and hasattr(scene, "centers")
             and fused_splat
-            and n_crypto_ids == 0
             and _gauss_names == ["RGBA"]
             and s_cap < (1 << 24) and n < (1 << 24)
             and not _os.environ.get("POTA_DISABLE_FUSED_SPLAT")):
@@ -1126,9 +1125,12 @@ def splat_frame(cfg: CameraConfig, rc: RenderConfig, scene, stream,
             px_vals = px_vals * (px_vals[:, :1] != 0).astype(dtype)
         buffers[spec.name] = px_vals.reshape(yres_r, xres_r, 4)
 
-    # ---- id-matte (cryptomatte capability, SURVEY.md C13): dense per-id
-    # coverage accumulated with the same splat weight chain
-    # (ref add_to_buffer_cryptomatte, src/lentil.h:814-819).
+    # ---- id-matte (cryptomatte capability, SURVEY.md C13): SPARSE ranked
+    # coverage extraction riding the same splat weight chain
+    # (ref add_to_buffer_cryptomatte, src/lentil.h:814-819; rank resolve
+    # src/lentil_imager.cpp:121-160).  Memory is O(writers + npix*k) — id
+    # counts no longer bound the buffer (the r4 dense [npix, n_ids] form
+    # capped at ~100 ids @1080p).
     #
     # Opacity weighting: when the stream carries depth-iterated coverage
     # layers ("crypto_ids" [N, D] + "crypto_weights" [N, D] — each sample's
@@ -1138,28 +1140,27 @@ def splat_frame(cfg: CameraConfig, rc: RenderConfig, scene, stream,
     # the splat with weight w * layer_weight, so transparent-edge mattes
     # follow the bokeh.  Single-hit streams fall back to the binary obj_id.
     if n_crypto_ids:
+        from .crypto import crypto_topk
+
         if "crypto_ids" in stream:
             ids_d = stream["crypto_ids"]            # [N, D]
             wts_d = stream["crypto_weights"]        # [N, D]
         else:
             ids_d = stream["obj_id"][:, None]
             wts_d = jnp.ones_like(ids_d, dtype)
-        crypto = jnp.zeros((npix * n_crypto_ids,), dtype)
+        pix_parts, id_parts, w_parts = [], [], []
         for d in range(ids_d.shape[1]):
-            oid = ids_d[:, d]
+            oid_d = ids_d[:, d]
             lw = wts_d[:, d]
-            id_safe = jnp.maximum(oid, 0)
-            has_id = (oid >= 0) & (lw > 0.0)
-            crypto = crypto.at[lin_splat * n_crypto_ids + id_safe[src]].add(
-                jnp.where(has_id[src], w_slot * lw[src], 0.0)
-            )
-            crypto = crypto.at[lin_source * n_crypto_ids + id_safe].add(
-                jnp.where(has_id, w_src * lw, 0.0)
-            )
-        total = jnp.zeros((npix,), dtype)
-        total = total.at[lin_splat].add(w_slot)
-        total = total.at[lin_source].add(w_src)
-        buffers["crypto"] = crypto.reshape(yres_r, xres_r, n_crypto_ids)
+            pix_parts += [lin_splat, lin_source]
+            id_parts += [oid_d[slot_sample], oid_d]
+            w_parts += [w_slot * lw[slot_sample], w_src * lw]
+        rank_id, rank_w, total = crypto_topk(
+            jnp.concatenate(pix_parts), jnp.concatenate(id_parts),
+            jnp.concatenate(w_parts), npix, k=6,
+        )
+        buffers["crypto_rank_id"] = rank_id.reshape(yres_r, xres_r, -1)
+        buffers["crypto_rank_w"] = rank_w.reshape(yres_r, xres_r, -1)
         buffers["crypto_total"] = total.reshape(yres_r, xres_r)
 
     buffers["filter_weight"] = weight_buf.reshape(yres_r, xres_r)
@@ -1174,36 +1175,25 @@ def splat_frame(cfg: CameraConfig, rc: RenderConfig, scene, stream,
     return buffers
 
 
-def resolve_crypto(fb: dict, ranks: int = 3):
-    """Rank-extract id-matte layers from the dense coverage buffer.
+def resolve_crypto(fb: dict, ranks: int = 3, id_hashes=None):
+    """Rank-extract id-matte layers from the sparse ranked coverage planes.
 
     TPU-native version of the reference imager's crypto resolve
-    (src/lentil_imager.cpp:121-160): sort ids by coverage weight, emit
-    ``ranks`` RGBA layers each holding two (id, normalized-weight) pairs —
-    the standard cryptomatte layer packing.
+    (src/lentil_imager.cpp:121-160): emit ``ranks`` RGBA layers each
+    holding two (id, normalized-weight) pairs — the standard cryptomatte
+    layer packing.  Pass ``id_hashes`` (render/crypto.py id_hash_table)
+    to emit spec float name-hash ids; without it the scene object index
+    rides as a float id (the test-scene convention).
     """
-    crypto = fb["crypto"]                       # [H, W, I]
-    total = jnp.maximum(fb["crypto_total"], 1e-12)[..., None]
-    k = min(2 * ranks, crypto.shape[-1])
-    vals, ids = jax.lax.top_k(crypto, k)
-    vals = vals / total
-    vals = jnp.where(vals > 0, vals, 0.0)
-    idf = jnp.where(vals > 0, ids.astype(crypto.dtype), 0.0)
-    layers = []
-    for r in range(ranks):
-        i0, i1 = 2 * r, 2 * r + 1
-        if i1 < k:
-            layer = jnp.stack(
-                [idf[..., i0], vals[..., i0], idf[..., i1], vals[..., i1]], -1
-            )
-        elif i0 < k:
-            z = jnp.zeros_like(idf[..., i0])
-            layer = jnp.stack([idf[..., i0], vals[..., i0], z, z], -1)
-        else:
-            z = jnp.zeros_like(crypto[..., 0])
-            layer = jnp.stack([z, z, z, z], -1)
-        layers.append(layer)
-    return layers
+    from .crypto import pack_layers
+
+    rank_id = fb["crypto_rank_id"]
+    h, w, k = rank_id.shape
+    layers = pack_layers(
+        rank_id.reshape(-1, k), fb["crypto_rank_w"].reshape(-1, k),
+        fb["crypto_total"].reshape(-1), ranks=ranks, id_hashes=id_hashes,
+    )
+    return [layer.reshape(h, w, 4) for layer in layers]
 
 
 def _po_aperture_lambda(cfg, po_state, seeds, counter, channel=None,

@@ -123,8 +123,20 @@ def param_table(cls) -> list[dict]:
         if f.name in _RANGES:
             lo, hi, slo, shi = _RANGES[f.name]
             row.update(min=lo, max=hi, softmin=slo, softmax=shi)
+        if cls is CameraConfig:
+            row["group"] = _group_of(f.name)
+            if f.name in _ENABLE_WHEN:
+                dep, op, val = _ENABLE_WHEN[f.name]
+                row["enable_when"] = {"param": dep, "op": op, "value": val}
         rows.append(row)
     return rows
+
+
+def _group_of(name: str) -> str:
+    for gname, names in _GROUPS:
+        if names is not None and name in names:
+            return gname
+    return "Advanced"
 
 
 def _label(name: str) -> str:
@@ -169,6 +181,14 @@ def render_mtd(node_name: str = "pota_camera") -> str:
         out.append(f"    [attr {r['name']}]")
         if r["description"]:
             out.append(f'        desc        STRING  "{r["description"]}"')
+        if "group" in r:
+            out.append(f'        ui.group    STRING  "{r["group"]}"')
+        if "enable_when" in r:
+            ew = r["enable_when"]
+            out.append(
+                '        houdini.disable_when STRING  '
+                f'"{{ {ew["param"]} {ew["op"]}! {ew["value"]} }}"'
+            )
         for key, mtd in (("min", "min"), ("max", "max"),
                          ("softmin", "softmin"), ("softmax", "softmax")):
             if key in r:
@@ -187,31 +207,46 @@ def render_args(node_name: str = "pota_camera") -> str:
     out = ['<!-- generated by pota_tpu.utils.paramdoc -->', "",
            '<args format="1.0">', "",
            f'<page name="{_label(node_name)}" open="True">']
-    for r in param_table(CameraConfig):
-        attrs = [f'name="{r["name"]}"', f'label="{_label(r["name"])}"']
-        if r["type"] == "bool":
-            attrs.append('widget="checkBox"')
-        elif "options" in r:
-            attrs.append('widget="mapper"')
-        elif r["type"] in ("int", "float") and "softmin" in r:
-            attrs += ['slider="True"', f'slidermin="{r["softmin"]}"',
-                      f'min="{r["min"]}"', f'slidermax="{r["softmax"]}"',
-                      f'max="{r["max"]}"']
-        if "options" in r:
-            out.append(f"\t<param {' '.join(attrs)}>")
-            out.append('\t\t<hintdict name="options">')
-            for opt in r["options"]:
-                out.append(f'\t\t<string value="{opt}"/>')
-            out.append("\t\t</hintdict>")
-            if r["description"]:
+    rows = param_table(CameraConfig)
+    for gname, members in _c4d_groups(rows):  # shared group layout
+        out.append(f'<group name="{gname}" open="True">')
+        for r in members:
+            attrs = [f'name="{r["name"]}"', f'label="{_label(r["name"])}"']
+            if r["type"] == "bool":
+                attrs.append('widget="checkBox"')
+            elif "options" in r:
+                attrs.append('widget="mapper"')
+            elif r["type"] in ("int", "float") and "softmin" in r:
+                attrs += ['slider="True"', f'slidermin="{r["softmin"]}"',
+                          f'min="{r["min"]}"', f'slidermax="{r["softmax"]}"',
+                          f'max="{r["max"]}"']
+            if "enable_when" in r:
+                # Katana conditional visibility (the reference UI's
+                # enable-when declarations, src/lentil_camera.ui)
+                ew = r["enable_when"]
+                op = {"==": "equalTo", ">": "greaterThan"}[ew["op"]]
+                val = ew["value"]
+                if isinstance(val, bool):
+                    val = int(val)
+                attrs += [f'conditionalVisOp="{op}"',
+                          f'conditionalVisPath="../{ew["param"]}"',
+                          f'conditionalVisValue="{val}"']
+            if "options" in r:
+                out.append(f"\t<param {' '.join(attrs)}>")
+                out.append('\t\t<hintdict name="options">')
+                for opt in r["options"]:
+                    out.append(f'\t\t<string value="{opt}"/>')
+                out.append("\t\t</hintdict>")
+                if r["description"]:
+                    out.append(f"\t\t<help>{escape(r['description'])}</help>")
+                out.append("\t</param>")
+            elif r["description"]:
+                out.append(f"\t<param {' '.join(attrs)}>")
                 out.append(f"\t\t<help>{escape(r['description'])}</help>")
-            out.append("\t</param>")
-        elif r["description"]:
-            out.append(f"\t<param {' '.join(attrs)}>")
-            out.append(f"\t\t<help>{escape(r['description'])}</help>")
-            out.append("\t</param>")
-        else:
-            out.append(f"\t<param {' '.join(attrs)}/>")
+                out.append("\t</param>")
+            else:
+                out.append(f"\t<param {' '.join(attrs)}/>")
+        out.append("</group>")
     out += ["</page>", "", "</args>", ""]
     return "\n".join(out)
 
@@ -219,28 +254,54 @@ def render_args(node_name: str = "pota_camera") -> str:
 def render_ae_template(node_name: str = "pota_camera") -> str:
     """Maya Attribute Editor template, Python flavor (ref WriteAETemplate)."""
     cls = "AE" + "".join(w.title() for w in node_name.split("_")) + "Template"
+    rows = param_table(CameraConfig)
+    dim_rules = {
+        r["name"]: r["enable_when"] for r in rows if "enable_when" in r
+    }
     out = ["# generated by pota_tpu.utils.paramdoc — Maya AE template",
            "from mtoa.ui.ae.templates import CameraTemplate", "", "",
            f"class {cls}(CameraTemplate):",
+           "    # enable-when rules (the reference UI's conditional-disable",
+           "    # declarations, src/lentil_camera.ui): param -> condition",
+           f"    DIM_RULES = {dim_rules!r}", "",
+           "    def _dim(self, nodeName):",
+           "        import maya.cmds as cmds",
+           "        ops = {'==': lambda a, b: a == b,",
+           "               '>': lambda a, b: a > b}",
+           "        for name, rule in self.DIM_RULES.items():",
+           "            try:",
+           "                v = cmds.getAttr(nodeName + '.' + rule['param'])",
+           "            except Exception:",
+           "                continue",
+           "            want = rule['value']",
+           "            if isinstance(want, str):",
+           "                want = v  # enum-by-name: resolved upstream",
+           "            self.dimControl(nodeName, name,",
+           "                            not ops[rule['op']](v, want))", "",
            "    def setup(self):",
-           "        self.beginScrollLayout()",
-           f'        self.beginLayout("{_label(node_name)}", collapse=False)']
-    for r in param_table(CameraConfig):
-        ann = r["description"].replace('"', "'")
+           "        self.beginScrollLayout()"]
+    for gname, members in _c4d_groups(rows):
         out.append(
-            f'        self.addControl("{r["name"]}", '
-            f'label="{_label(r["name"])}", annotation="{ann}")'
+            f'        self.beginLayout("{gname}", collapse='
+            f'{gname == "Advanced"})'
         )
-    out += ["        self.endLayout()",
-            "        self.addExtraControls()",
+        for r in members:
+            ann = r["description"].replace('"', "'")
+            out.append(
+                f'        self.addControl("{r["name"]}", '
+                f'label="{_label(r["name"])}", annotation="{ann}")'
+            )
+        out.append("        self.endLayout()")
+    out += ["        self.addExtraControls()",
             "        self.endScrollLayout()", ""]
     return "\n".join(out)
 
 
-# C4D UI groups: the reference's UI DSL organizes parameters into tabs/
-# groups (src/lentil_camera.ui); our flat config source gets an equivalent
-# grouping here so the .res layout is usable.
-_C4D_GROUPS = (
+# UI groups: the reference's UI DSL organizes parameters into tabs/groups
+# (src/lentil_camera.ui Group/Tab declarations, compiled by uigen.py:25-70);
+# our flat config source gets an equivalent grouping here, shared by every
+# UI target (.mtd / .args / AE / C4D / markdown / JSON).
+_GROUPS = (
     ("Lens", ("camera_type", "units", "sensor_width", "enable_dof", "fstop",
               "focus_distance", "aperture_blades", "exposure", "lens_model",
               "wavelength", "extra_sensor_shift", "focal_length")),
@@ -256,6 +317,23 @@ _C4D_GROUPS = (
                        "enable_bidir_transmission", "enable_skydome")),
     ("Advanced", None),  # catch-all for the remaining params
 )
+_C4D_GROUPS = _GROUPS  # C4D shares the group layout
+
+# Conditional enabling: the reference UI's enable-when logic
+# (src/lentil_camera.ui conditional-disable declarations) — a parameter is
+# only meaningful when its controlling parameter has the given value/state.
+_ENABLE_WHEN = {
+    "focal_length": ("camera_type", "==", "THIN_LENS"),
+    "lens_model": ("camera_type", "==", "POLYNOMIAL_OPTICS"),
+    "wavelength": ("camera_type", "==", "POLYNOMIAL_OPTICS"),
+    "fstop": ("enable_dof", "==", True),
+    "aperture_blades": ("enable_dof", "==", True),
+    "optical_vignetting_radius": ("optical_vignetting_distance", ">", 0.0),
+    "abb_chromatic_type": ("abb_chromatic", ">", 0.0),
+    "bokeh_image_path": ("bokeh_enable_image", "==", True),
+    "bidir_add_energy_minimum_luminance": ("bidir_add_energy", ">", 0.0),
+    "bidir_add_energy_transition": ("bidir_add_energy", ">", 0.0),
+}
 
 
 def c4d_param_id(node_name: str, param_name: str) -> int:

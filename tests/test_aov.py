@@ -115,10 +115,16 @@ def test_opacity_weighted_crypto_layers():
     rc = RenderConfig(xres=16, yres=16, spp=4, enable_id_matte=True)
     img, buffers = render_frame(cfg, rc, scene,
                                 look_at([0, 0, 0], [0, 0, -1]), seed=0)
-    crypto = np.asarray(buffers["crypto"])          # [H, W, 2]
+    rank_id = np.asarray(buffers["crypto_rank_id"])  # [H, W, K]
+    rank_w = np.asarray(buffers["crypto_rank_w"])
     total = np.asarray(buffers["crypto_total"])
-    # central pixels: glass covers the opaque sphere entirely
-    c = crypto[6:10, 6:10] / np.maximum(total[6:10, 6:10, None], 1e-12)
+    # central pixels: glass covers the opaque sphere entirely; collect each
+    # id's coverage from the ranked pairs
+    cov = np.zeros((16, 16, 2))
+    for i in range(2):
+        m = rank_id == i
+        cov[..., i] = (rank_w * m).sum(-1) / np.maximum(total, 1e-12)
+    c = cov[6:10, 6:10]
     # front (id 0) gets opacity 1-0.5; behind (id 1) the remaining quota
     np.testing.assert_allclose(c[..., 0], 1.0 - glass_tint, atol=0.02)
     np.testing.assert_allclose(c[..., 1], glass_tint, atol=0.02)
@@ -133,7 +139,7 @@ def test_id_matte_ranked_resolve():
     scene = sc.teapot_scene()
     img, buffers = render_frame(cfg, rc, scene,
                                 look_at([0, 0, 0], [0, 0, -1]), seed=0)
-    assert "crypto" in buffers
+    assert "crypto_rank_id" in buffers
     layers = resolve_crypto(buffers, ranks=3)
     assert len(layers) == 3
     l0 = np.asarray(layers[0])

@@ -30,7 +30,7 @@ def test_catalog_spans_at_least_15_design_forms():
     used = {base for base, _ in CATALOG.values()}
     assert len(used) >= 15, sorted(used)
     assert used <= set(BASE_DESIGNS)
-    assert len(CATALOG) == 44
+    assert len(CATALOG) == 45  # 44 reference names + the anamorphic extension
 
 
 def _signature(name: str, n: int = 4000, seed: int = 11):

@@ -85,3 +85,34 @@ def test_json_schema_round_trips():
     assert set(schema) == {"CameraConfig", "RenderConfig"}
     fstop = [r for r in schema["CameraConfig"] if r["name"] == "fstop"][0]
     assert fstop["min"] == 0.0 and fstop["default"] == 0.0
+
+
+def test_groups_and_enable_when():
+    """Every camera param belongs to a UI group and every enable-when rule
+    references a real controlling parameter (the reference UI DSL's
+    Group/Tab + conditional-disable structure, src/uigen.py:25-70)."""
+    from pota_tpu.utils.paramdoc import (
+        param_table, render_args, render_ae_template, render_mtd,
+    )
+    from pota_tpu.config import CameraConfig
+
+    rows = param_table(CameraConfig)
+    names = {r["name"] for r in rows}
+    assert all("group" in r for r in rows)
+    groups = {r["group"] for r in rows}
+    assert {"Lens", "Aberrations", "Bokeh", "Bidirectional",
+            "Advanced"} <= groups
+    for r in rows:
+        if "enable_when" in r:
+            assert r["enable_when"]["param"] in names
+
+    args = render_args()
+    assert args.count("<group name=") >= 5
+    assert 'conditionalVisOp="greaterThan"' in args
+    assert 'conditionalVisPath="../bokeh_enable_image"' in args
+    ae = render_ae_template()
+    assert "DIM_RULES" in ae and "beginLayout" in ae
+    assert ae.count("beginLayout") >= 5
+    mtd = render_mtd()
+    assert 'ui.group    STRING  "Bokeh"' in mtd
+    assert "houdini.disable_when" in mtd

@@ -62,7 +62,7 @@ def test_all_base_designs_build_and_collimate():
 
 
 def test_catalog_complete_and_scaled():
-    assert len(CATALOG) == 44
+    assert len(CATALOG) == 45  # 44 reference names + the anamorphic extension
     rows = get_lens_rows("zeiss__biotar__1927__58mm")
     _, efl = _paraxial_bfl_efl(rows)
     np.testing.assert_allclose(efl, 58.0, rtol=1e-6)
