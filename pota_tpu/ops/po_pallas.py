@@ -857,14 +857,18 @@ def build_po_splat_kernel(lens: PolyLens, iterations: int, n_spheres: int,
 # Table-gather splat kernel: kills the [S]-sized XLA gathers.
 # --------------------------------------------------------------------------
 
-# compact source-table row layout ([16, N] f32)
+# compact source-table row layout ([17, N] f32).  Queue-slot starts ride
+# as a (hi, lo) pair (start = hi * 4096 + lo) so they stay EXACT in f32 for
+# queues far past 2^24 slots (a 4K frame's queue is 33M slots; a single f32
+# start column silently rounds above 16.7M).
 TBL_PX, TBL_PY = 0, 1
 TBL_PCX, TBL_PCY, TBL_PCZ = 2, 3, 4
 TBL_PWX, TBL_PWY, TBL_PWZ = 5, 6, 7
 TBL_SKY, TBL_START = 8, 9
 TBL_R, TBL_G, TBL_B, TBL_A = 10, 11, 12, 13
 TBL_Z, TBL_OID = 14, 15
-TBL_ROWS = 16
+TBL_START_HI = 16
+TBL_ROWS = 17
 
 _TS_CHUNK = 512      # slots per grid step
 _TS_WIN = 1024       # source-table window (2 blocks of _TS_CHUNK)
@@ -893,7 +897,7 @@ def build_expand_kernel(interpret: bool = False):
 
     def kernel(tb_ref, src_ref, tblA_ref, tblB_ref, out_ref):
         w = pl.program_id(0)
-        src = src_ref[0]                                # [1, C] f32
+        src = src_ref[0, pl.ds(w % 8, 1), :]            # [1, C] f32
         base = (tb_ref[w] * _TS_CHUNK).astype(jnp.float32)
         local = src - base                              # in [0, _TS_WIN)
         rows = jax.lax.broadcasted_iota(
@@ -911,8 +915,9 @@ def build_expand_kernel(interpret: bool = False):
     def fn(src_c, table, tb):
         s = src_c.shape[0]
         n_chunks = -(-s // _TS_CHUNK)
-        s_pad = n_chunks * _TS_CHUNK
-        src_p = jnp.pad(src_c, (0, s_pad - s)).reshape(n_chunks, 1,
+        n_groups = -(-n_chunks // 8)
+        s_pad = n_groups * 8 * _TS_CHUNK
+        src_p = jnp.pad(src_c, (0, s_pad - s)).reshape(n_groups, 8,
                                                        _TS_CHUNK)
         nt = table.shape[1]
         n_tblocks = nt // _TS_CHUNK
@@ -921,7 +926,7 @@ def build_expand_kernel(interpret: bool = False):
             num_scalar_prefetch=1,
             grid=(n_chunks,),
             in_specs=[
-                pl.BlockSpec((1, 1, _TS_CHUNK), lambda w, tbr: (w, 0, 0),
+                pl.BlockSpec((1, 8, _TS_CHUNK), lambda w, tbr: (w // 8, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((TBL_ROWS, _TS_CHUNK),
                              lambda w, tbr: (0, tbr[w]),
@@ -944,7 +949,8 @@ def build_expand_kernel(interpret: bool = False):
             ),
             interpret=interpret,
         )(tb, src_p, table, table)
-        return out.transpose(1, 0, 2).reshape(TBL_ROWS, s_pad)[:, :s]
+        return out.transpose(1, 0, 2).reshape(
+            TBL_ROWS, n_chunks * _TS_CHUNK)[:, :s]
 
     return fn
 

@@ -61,13 +61,24 @@ def _accum_kernel(n_payload: int, band_px: int,
                   pix_sub_ref, focc_ref, depth_ref, sid_ref, *refs):
     """One (band, chunk) work entry: accumulate a 1024-row chunk of the
     sorted stream into this band's [R, band_px] VMEM block with a single
-    MXU contraction over the chunk."""
+    MXU contraction over the chunk.
+
+    Input streams ride [n_groups, 8, CHUNK] arrays — 8 chunks per tiled
+    group, zero tile padding (the earlier [C, 1] / [1, C] blocked 3-D
+    forms padded their unit dim to 128/8 lanes, a 21 GB HBM blow-up at
+    4K); the kernel slices its chunk's row and relays the pixel ids onto
+    sublanes itself."""
     payload_refs = refs[:n_payload]
     out_ref = refs[n_payload]
     w = pl.program_id(0)
     base = (band_ref[w] * band_px).astype(jnp.float32)
+    cmod = chunk_ref[w] % 8
 
-    local = pix_sub_ref[0] - base                      # [C, 1] sublanes
+    def row_of(ref):
+        return ref[0, pl.ds(cmod, 1), :]               # [1, C] lanes
+
+    pix_row = row_of(pix_sub_ref)
+    local = pix_row.reshape(pix_row.shape[1], 1) - base  # [C, 1] sublanes
     in_band = (local >= 0.0) & (local < float(band_px))
     in_band &= live_ref[w] > 0
     cols = jax.lax.broadcasted_iota(
@@ -75,10 +86,10 @@ def _accum_kernel(n_payload: int, band_px: int,
     ).astype(jnp.float32)
     onehot = jnp.where(in_band & (local == cols), 1.0, 0.0)  # [C, P]
 
-    focc = focc_ref[0]                                 # [1, C] lanes
-    rows = [r[0] for r in payload_refs]
-    rows.append(focc * depth_ref[0])
-    rows.append(focc * sid_ref[0])
+    focc = row_of(focc_ref)                            # [1, C] lanes
+    rows = [row_of(r) for r in payload_refs]
+    rows.append(focc * row_of(depth_ref))
+    rows.append(focc * row_of(sid_ref))
     rows.append(focc)
     n_rows = out_ref.shape[1]
     while len(rows) < n_rows:
@@ -156,16 +167,16 @@ def accumulate_presorted(sp, cols_sorted, dep_s, sid_s, focc, npix: int,
     n_rows = _pad_rows(k)
     n_bands = -(-npix // BAND_PX)
 
-    # pad the stream to whole chunks with sentinel rows.  Pixel ids ride
-    # SUBLANES ([C, 1] blocks -> the one-hot operand); payload/focc/depth/
-    # sid ride LANES ([1, C] blocks -> the [R, C] matmul operand).
+    # pad the stream to whole 8-chunk GROUPS with sentinel rows: every
+    # stream rides an [n_groups, 8, CHUNK] array whose tiled trailing dims
+    # (8, CHUNK) carry zero padding — the minimal HBM footprint
     n_chunks = -(-wtot // CHUNK)
-    wpad = n_chunks * CHUNK
+    n_groups = -(-n_chunks // 8)
+    wpad = n_groups * 8 * CHUNK
     padn = wpad - wtot
-    sub = (n_chunks, CHUNK, 1)
-    lane = (n_chunks, 1, CHUNK)
+    lane = (n_groups, 8, CHUNK)
     sp_p = jnp.pad(sp, (0, padn), constant_values=npix).astype(
-        jnp.float32).reshape(sub)
+        jnp.float32).reshape(lane)
     focc_p = jnp.pad(focc, (0, padn)).reshape(lane)
     dep_p = jnp.pad(dep_s, (0, padn)).reshape(lane)
     sid_p = jnp.pad(sid_s, (0, padn)).reshape(lane)
@@ -199,18 +210,14 @@ def accumulate_presorted(sp, cols_sorted, dep_s, sid_s, focc, npix: int,
          (b_cl[1:] != b_cl[:-1]).astype(jnp.int32)]
     )
 
-    sub_spec = pl.BlockSpec(
-        (1, CHUNK, 1), lambda w, b, c, l, f: (c[w], 0, 0),
-        memory_space=pltpu.VMEM,
-    )
     lane_spec = pl.BlockSpec(
-        (1, 1, CHUNK), lambda w, b, c, l, f: (c[w], 0, 0),
+        (1, 8, CHUNK), lambda w, b, c, l, f: (c[w] // 8, 0, 0),
         memory_space=pltpu.VMEM,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(w_max,),
-        in_specs=[sub_spec] + [lane_spec] * (3 + k),
+        in_specs=[lane_spec] * (4 + k),
         out_specs=pl.BlockSpec(
             (1, n_rows, BAND_PX), lambda w, b, c, l, f: (b[w], 0, 0),
             memory_space=pltpu.VMEM,

@@ -288,11 +288,12 @@ def render_frame_simple(cfg: CameraConfig, rc: RenderConfig, scene,
 
 
 @partial(jax.jit, static_argnums=(0, 1),
-         static_argnames=("seed", "po_state", "use_pallas", "fused_splat"))
+         static_argnames=("seed", "po_state", "use_pallas", "fused_splat",
+                          "differentiable"))
 def render_frame(cfg: CameraConfig, rc: RenderConfig, scene, cam_to_world,
                  seed: int = 0, po_lens=None, po_state=None, bokeh_cdf=None,
                  cam_to_world_end=None, use_pallas: bool = True,
-                 fused_splat: bool = True):
+                 fused_splat: bool = True, differentiable: bool = False):
     """Full pipeline: forward trace + bidirectional redistribution + resolve.
 
     The TPU equivalent of the reference's complete render flow:
@@ -313,7 +314,7 @@ def render_frame(cfg: CameraConfig, rc: RenderConfig, scene, cam_to_world,
         po_state=po_state, bokeh_cdf=bokeh_cdf,
         n_crypto_ids=(scene.n_objects if rc.enable_id_matte else 0),
         cam_to_world_end=cam_to_world_end, use_pallas=use_pallas,
-        fused_splat=fused_splat,
+        fused_splat=fused_splat, differentiable=differentiable,
     )
     return resolve_imager(rc, fb), fb
 

@@ -279,6 +279,103 @@ def splat_queue_compact(budget, redistribute, queue_size: int,
     return src_c, slot_on, slots
 
 
+def _expand_differentiable(exp_kern, table, src_f, tb, starts_slots,
+                           ends_slots, pos, nt: int):
+    """Run the expand kernel with a LINEAR custom VJP w.r.t. the table.
+
+    The expansion is a pure gather (ex[:, s] = table[:, src[s]]), so its
+    transpose is a per-source segment sum over each compact source's
+    contiguous slot range — a 16-row cumsum + two gathers at the range
+    ends + one scatter back to table positions.  This is what lets the
+    differentiable training mode run the WHOLE gather-free splat pipeline
+    at inference speed (pallas_call itself has no VJP rule).
+    """
+
+    # custom_vjp may not close over traced arrays: every array aux rides as
+    # an explicit f32 argument with a zero cotangent (values < 2^24, exact)
+    @jax.custom_vjp
+    def run(table, src_f_, tb_f, starts_f, ends_f, pos_f):
+        return exp_kern(src_f_, table, tb_f.astype(jnp.int32))
+
+    def fwd(table, src_f_, tb_f, starts_f, ends_f, pos_f):
+        return run(table, src_f_, tb_f, starts_f, ends_f, pos_f), (
+            src_f_, tb_f, starts_f, ends_f, pos_f,
+        )
+
+    def bwd(res, d_ex):
+        src_f_, tb_f, starts_f, ends_f, pos_f = res
+        s = d_ex.shape[1]
+        cs = jnp.cumsum(d_ex, axis=1)
+        e = jnp.clip(ends_f.astype(jnp.int32), 0, s) - 1
+        st = jnp.clip(starts_f.astype(jnp.int32), 0, s) - 1
+        pick = lambda i: jnp.where(
+            (i >= 0)[None, :], cs[:, jnp.maximum(i, 0)], 0.0
+        )
+        seg = pick(e) - pick(st)                       # [16, N]
+        d_table = jnp.zeros(
+            (d_ex.shape[0], nt), d_ex.dtype
+        ).at[:, pos_f.astype(jnp.int32)].set(seg, mode="drop")
+        return (d_table, jnp.zeros_like(src_f_), jnp.zeros_like(tb_f),
+                jnp.zeros_like(starts_f), jnp.zeros_like(ends_f),
+                jnp.zeros_like(pos_f))
+
+    run.defvjp(fwd, bwd)
+    return run(table, src_f, tb.astype(jnp.float32),
+               starts_slots.astype(jnp.float32),
+               ends_slots.astype(jnp.float32), pos.astype(jnp.float32))
+
+
+def _accumulate_sorted_diff(writer_pix_s, writer_depth, cols,
+                            sample_of_writer, npix: int,
+                            interpret: bool = False):
+    """Sorted-accumulator pipeline with a LINEAR custom VJP w.r.t. the
+    payload columns.
+
+    The accumulation is a scatter-add by target pixel regardless of the
+    sort order, so the payload cotangent is simply the accumulator
+    cotangent gathered back at each writer's pixel — no permutation or
+    kernel transpose needed.  Winner outputs (depth/sample/has) carry no
+    cotangent (indices and arg-structure).
+    """
+    from ..ops.splat_accum import (
+        accumulate_presorted, sort_writers_with_payload,
+    )
+
+    # custom_vjp may not close over traced arrays: pixel/depth/sample ids
+    # ride as explicit f32 args with zero cotangents (< 2^24, exact in f32)
+    @jax.custom_vjp
+    def run(cols, pix_f, dep_f, sid_f):
+        sp_, dep_s, cols_s, sid_s, focc = sort_writers_with_payload(
+            pix_f.astype(jnp.int32), dep_f, list(cols),
+            sid_f.astype(jnp.int32),
+        )
+        return accumulate_presorted(
+            sp_, cols_s, dep_s, sid_s.astype(jnp.float32), focc, npix,
+            interpret=interpret,
+        )
+
+    def fwd(cols, pix_f, dep_f, sid_f):
+        return run(cols, pix_f, dep_f, sid_f), (pix_f, dep_f, sid_f)
+
+    def bwd(res, ct):
+        pix_f, dep_f, sid_f = res
+        d_accum = ct[0]                                # [npix, K]
+        pix = pix_f.astype(jnp.int32)
+        live = pix < npix
+        safe = jnp.minimum(pix, npix - 1)
+        d_cols = tuple(
+            jnp.where(live, d_accum[safe, k], 0.0)
+            for k in range(d_accum.shape[1])
+        )
+        return (d_cols, jnp.zeros_like(pix_f), jnp.zeros_like(dep_f),
+                jnp.zeros_like(sid_f))
+
+    run.defvjp(fwd, bwd)
+    sg = jax.lax.stop_gradient
+    return run(tuple(cols), sg(writer_pix_s).astype(jnp.float32),
+               sg(writer_depth), sg(sample_of_writer).astype(jnp.float32))
+
+
 def thinlens_backward_project(cfg: CameraConfig, rc: RenderConfig,
                               cam_space_pos, seeds, k_idx, bokeh_cdf=None):
     """One backward thin-lens sample per slot: scene point -> pixel.
@@ -441,7 +538,8 @@ def splat_frame(cfg: CameraConfig, rc: RenderConfig, scene, stream,
                 cam_to_world, po_lens=None, po_state=None, bokeh_cdf=None,
                 aovs=None, n_crypto_ids: int = 0, cam_to_world_end=None,
                 use_pallas: bool = True, queue_size: int | None = None,
-                with_diagnostics: bool = False, fused_splat: bool = True):
+                with_diagnostics: bool = False, fused_splat: bool = True,
+                differentiable: bool = False):
     """Full filter stage: gates + backward splats + buffer accumulation.
 
     Every AOV in ``aovs`` (default :data:`pota_tpu.render.aov.DEFAULT_AOVS`)
@@ -450,6 +548,17 @@ def splat_frame(cfg: CameraConfig, rc: RenderConfig, scene, stream,
     framebuffer dict consumed by :func:`resolve_imager` (one [H, W, 4]
     buffer per AOV + the RGBA filter-weight plane); H, W are the render
     region's resolution (ref src/lentil.h:1061-1080).
+
+    ``differentiable=True``: the fast-but-exact training mode.  The splat
+    GEOMETRY (pixel targets, validity, occlusion) runs through the fused
+    Pallas kernels behind ``stop_gradient`` — its almost-everywhere
+    cotangent is exactly zero anyway (pixel targets pass through ``floor``,
+    validity/occlusion are booleans, per-source weights are integer
+    counts), so this computes the TRUE gradient — while the VALUE chain
+    (stream AOV values -> weighted contributions -> scatter-add) stays the
+    plain differentiable form.  The r5 grad profile measured the pure-path
+    splat primal at ~4.6 s of the 5.5 s 1080p training step while its
+    coefficient-gradient was structurally zero (29 ms once DCE'd).
     """
     from .aov import CLOSEST, DEFAULT_AOVS, GAUSSIAN, aov_value_rgba
 
@@ -552,14 +661,14 @@ def splat_frame(cfg: CameraConfig, rc: RenderConfig, scene, stream,
             and hasattr(scene, "centers")
             and fused_splat
             and _gauss_names == ["RGBA"]
-            and s_cap < (1 << 24) and n < (1 << 24)
+            and n < (1 << 24)
             and not _os.environ.get("POTA_DISABLE_FUSED_SPLAT")):
         from ..ops.po_pallas import (
             resolve_expand_kernel, resolve_splat_kernel,
             resolve_tl_splat_kernel,
         )
 
-        exp_kern = resolve_expand_kernel(use_pallas)
+        exp_kern = resolve_expand_kernel(use_pallas or differentiable)
         if exp_kern is not None:
             if cfg.camera_type == CameraType.POLYNOMIAL_OPTICS:
                 use_bokeh = cfg.bokeh_enable_image and bokeh_cdf is not None
@@ -570,7 +679,8 @@ def splat_frame(cfg: CameraConfig, rc: RenderConfig, scene, stream,
                 ext_aperture = use_bokeh or cfg.aperture_blades > 2
                 splat_kern = resolve_splat_kernel(
                     po_lens, cfg.lt_newton_iterations, scene.n_objects,
-                    use_pallas, sample_aperture=not ext_aperture,
+                    use_pallas or differentiable,
+                    sample_aperture=not ext_aperture,
                     lam_input=(chroma and not ext_aperture),
                 )
             elif (cfg.abb_coma == 0.0 and cfg.abb_chromatic == 0.0
@@ -579,7 +689,7 @@ def splat_frame(cfg: CameraConfig, rc: RenderConfig, scene, stream,
                     and not cfg.bokeh_enable_image
                     and cfg.aperture_blades < 2):
                 splat_kern = resolve_tl_splat_kernel(
-                    cfg, scene.n_objects, use_pallas
+                    cfg, scene.n_objects, use_pallas or differentiable
                 )
         if splat_kern is None:
             exp_kern = None
@@ -588,7 +698,8 @@ def splat_frame(cfg: CameraConfig, rc: RenderConfig, scene, stream,
         from ..ops.po_pallas import (
             TBL_A, TBL_B, TBL_G, TBL_OID, TBL_PCX, TBL_PCY, TBL_PCZ,
             TBL_PWX, TBL_PWY, TBL_PWZ, TBL_PX, TBL_PY, TBL_R, TBL_ROWS,
-            TBL_SKY, TBL_START, TBL_Z, _TS_CHUNK, splat_kernel_params,
+            TBL_SKY, TBL_START, TBL_START_HI, TBL_Z, _TS_CHUNK,
+            splat_kernel_params,
         )
         from ..utils.profiling import log
 
@@ -606,31 +717,45 @@ def splat_frame(cfg: CameraConfig, rc: RenderConfig, scene, stream,
             [1.0, 1.0, 1.0, 0.0], dtype
         )
         offs_n0 = jnp.cumsum(granted)
-        starts_n0 = (offs_n0 - granted).astype(dtype)
+        starts_i = offs_n0 - granted
+        # (hi, lo) split keeps queue starts exact in the f32 table for any
+        # practical queue size (single column rounds above 2^24 slots)
+        starts_hi = (starts_i // 4096).astype(dtype)
+        starts_lo = (starts_i % 4096).astype(dtype)
         has = granted > 0
         pos = jnp.where(has, jnp.cumsum(has.astype(jnp.int32)) - 1, n)
         cols16 = jnp.stack([
             stream["px"].astype(dtype), stream["py"].astype(dtype),
             p_cam_safe[:, 0], p_cam_safe[:, 1], p_cam_safe[:, 2],
             p_ws[:, 0], p_ws[:, 1], p_ws[:, 2],
-            sky.astype(dtype), starts_n0,
+            sky.astype(dtype), starts_lo,
             slot_vals[:, 0], slot_vals[:, 1], slot_vals[:, 2],
             slot_vals[:, 3],
             depth_src, jnp.arange(n, dtype=dtype),
-        ], 0)                                         # [16, N]
+            starts_hi,
+        ], 0)                                         # [17, N]
         nt = -(-n // _TS_CHUNK) * _TS_CHUNK
         table = jnp.zeros((TBL_ROWS, nt), dtype).at[:, pos].set(
             cols16, mode="drop"
         )
         tb = (src[::_TS_CHUNK] // _TS_CHUNK).astype(jnp.int32)
-        ex = exp_kern(src.astype(dtype), table, tb)   # [16, S]
+        if differentiable:
+            # linear custom VJP: the payload rows stay differentiable all
+            # the way to the stream values while the kernels run as-is
+            ex = _expand_differentiable(
+                exp_kern, table, jax.lax.stop_gradient(src.astype(dtype)),
+                tb, starts_i, offs_n0, pos, nt,
+            )
+        else:
+            ex = exp_kern(src.astype(dtype), table, tb)   # [16, S]
 
         # per-slot elementwise derivations from expanded rows
         s_q_ = src.shape[0]
-        lane_i = (
-            jnp.arange(s_q_, dtype=jnp.int32) - ex[TBL_START].astype(jnp.int32)
+        start_i = (
+            ex[TBL_START_HI].astype(jnp.int32) * 4096
+            + ex[TBL_START].astype(jnp.int32)
         )
-        lane_i = jnp.maximum(lane_i, 0)
+        lane_i = jnp.maximum(jnp.arange(s_q_, dtype=jnp.int32) - start_i, 0)
         if chroma:
             ctr_i = lane_i // 3
             channel = lane_i - 3 * ctr_i
@@ -651,9 +776,13 @@ def splat_frame(cfg: CameraConfig, rc: RenderConfig, scene, stream,
         spheres = jnp.concatenate(
             [scene.centers, scene.radii[:, None]], -1
         ).astype(jnp.float32)
-        pcx, pcy, pcz = ex[TBL_PCX], ex[TBL_PCY], ex[TBL_PCZ]
-        pwx, pwy, pwz = ex[TBL_PWX], ex[TBL_PWY], ex[TBL_PWZ]
-        skyf = ex[TBL_SKY]
+        ex_g = jax.lax.stop_gradient(ex) if differentiable else ex
+        if differentiable:
+            params = jax.lax.stop_gradient(params)
+            spheres = jax.lax.stop_gradient(spheres)
+        pcx, pcy, pcz = ex_g[TBL_PCX], ex_g[TBL_PCY], ex_g[TBL_PCZ]
+        pwx, pwy, pwz = ex_g[TBL_PWX], ex_g[TBL_PWY], ex_g[TBL_PWZ]
+        skyf = ex_g[TBL_SKY]
         if cfg.camera_type == CameraType.POLYNOMIAL_OPTICS:
             if ext_aperture:
                 u = prng.uniforms(seed_u, ctr_u, 2)
@@ -737,8 +866,13 @@ def splat_frame(cfg: CameraConfig, rc: RenderConfig, scene, stream,
             not cfg.bokeh_enable_image and cfg.aperture_blades <= 2
             and channel is None
         )
+        # differentiable mode uses the kernel for GEOMETRY even though the
+        # training path passes use_pallas=False (see the docstring): the
+        # geometry cotangents are exactly zero, so stop_gradient'd kernel
+        # inputs compute the true gradient at inference speed
         fused_kern = resolve_splat_kernel(
-            po_lens, cfg.lt_newton_iterations, scene.n_objects, use_pallas,
+            po_lens, cfg.lt_newton_iterations, scene.n_objects,
+            use_pallas or differentiable,
             sample_aperture=sample_in_kernel,
         )
 
@@ -764,6 +898,13 @@ def splat_frame(cfg: CameraConfig, rc: RenderConfig, scene, stream,
         ).astype(jnp.float32)
         p_ws_q = p_ws[src]
         sky_q = sky[src].astype(jnp.float32)
+        if differentiable:
+            # pallas_call has no VJP rule; the geometry inputs' true
+            # cotangents are zero (floor/boolean outputs), so cut them
+            sg = jax.lax.stop_gradient
+            p_cam_q, p_ws_q, sky_q, params, spheres = (
+                sg(p_cam_q), sg(p_ws_q), sg(sky_q), sg(params), sg(spheres)
+            )
         if sample_in_kernel:
             # the kernel derives the aperture point + wavelength in
             # registers from the (seed, counter) pair — no [S]-sized
@@ -959,7 +1100,8 @@ def splat_frame(cfg: CameraConfig, rc: RenderConfig, scene, stream,
     # the expanded pipeline's payload columns only exist in sorted form, so
     # it ALWAYS pairs with the sorted accumulator (including thin-lens,
     # whose decomposed path measured faster on plain scatters — r4)
-    if exp_kern is not None or _sorted_accum_enabled(cfg, use_pallas):
+    if exp_kern is not None or (
+            not differentiable and _sorted_accum_enabled(cfg, use_pallas)):
         # ONE shared (pixel, depth) sort feeds both the gaussian segment
         # sums and the closest winner (ops/splat_accum.py) — replaces the
         # per-column scatter-adds + two scatter-mins below, each of which
@@ -1000,15 +1142,23 @@ def splat_frame(cfg: CameraConfig, rc: RenderConfig, scene, stream,
                 jnp.concatenate([k_a * w_slot, values[:, 3] * w_src]),
                 jnp.concatenate([w_slot, w_src]),
             ]
-            sp_, dep_s, cols_s, sid_s, focc = sort_writers_with_payload(
-                writer_pix_s, writer_depth, cols, sample_of_writer
-            )
-            accum, winner_depth, winner_sample, has_winner = (
-                accumulate_presorted(
-                    sp_, cols_s, dep_s, sid_s.astype(jnp.float32), focc,
-                    npix
+            if differentiable:
+                accum, winner_depth, winner_sample, has_winner = (
+                    _accumulate_sorted_diff(
+                        writer_pix_s, writer_depth, cols, sample_of_writer,
+                        npix, interpret=_interp,
+                    )
                 )
-            )
+            else:
+                sp_, dep_s, cols_s, sid_s, focc = sort_writers_with_payload(
+                    writer_pix_s, writer_depth, cols, sample_of_writer
+                )
+                accum, winner_depth, winner_sample, has_winner = (
+                    accumulate_presorted(
+                        sp_, cols_s, dep_s, sid_s.astype(jnp.float32), focc,
+                        npix
+                    )
+                )
             weight_buf = accum[:, 4]
             buffers["RGBA"] = accum[:, :4].reshape(yres_r, xres_r, 4)
         elif rgba_only:

@@ -172,3 +172,42 @@ def test_expand_kernel_parity(interp_env):
     on = np.asarray(slot_on)
     expect = table_np[:, src_np]
     np.testing.assert_array_equal(ex[:, on], expect[:, on])
+
+
+def test_differentiable_mode_matches_pure_grad(interp_env, synthetic_lens):
+    """differentiable=True (fused kernel geometry behind stop_gradient)
+    must produce the SAME lens-coefficient gradient as the pure path: the
+    geometry cotangents are exactly zero almost everywhere (floor'd pixel
+    targets, boolean validity), so only the value chain carries gradient
+    either way."""
+    import dataclasses as dc
+
+    import jax
+
+    from pota_tpu.render.renderer import render_frame
+
+    # the SHADED scene: pure-emissive grids make the loss piecewise-
+    # constant in the coefficients (gradient identically zero)
+    scene = sc.teapot_scene()
+    cfg, state = _po_setup(synthetic_lens)
+    from pota_tpu.ops.po_pallas import prebuild_splat_kernel
+
+    prebuild_splat_kernel(synthetic_lens, cfg.lt_newton_iterations,
+                          scene.n_objects)
+
+    def loss(coeffs, differentiable):
+        lens2 = dc.replace(
+            synthetic_lens,
+            pt=dc.replace(synthetic_lens.pt, coeffs=coeffs))
+        img, _ = render_frame(cfg, RC, scene, M, seed=0,
+                              po_lens=lens2, po_state=state,
+                              use_pallas=False,
+                              differentiable=differentiable)
+        return jnp.mean(img[..., :3])
+
+    c0 = synthetic_lens.pt.coeffs
+    g_pure = np.asarray(jax.grad(lambda c: loss(c, False))(c0))
+    g_fast = np.asarray(jax.grad(lambda c: loss(c, True))(c0))
+    assert np.isfinite(g_pure).all() and np.isfinite(g_fast).all()
+    assert np.linalg.norm(g_pure) > 0
+    np.testing.assert_allclose(g_fast, g_pure, rtol=2e-3, atol=1e-7)
