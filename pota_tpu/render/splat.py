@@ -724,7 +724,7 @@ def splat_frame(cfg: CameraConfig, rc: RenderConfig, scene, stream,
         starts_lo = (starts_i % 4096).astype(dtype)
         has = granted > 0
         pos = jnp.where(has, jnp.cumsum(has.astype(jnp.int32)) - 1, n)
-        cols16 = jnp.stack([
+        cols17 = [
             stream["px"].astype(dtype), stream["py"].astype(dtype),
             p_cam_safe[:, 0], p_cam_safe[:, 1], p_cam_safe[:, 2],
             p_ws[:, 0], p_ws[:, 1], p_ws[:, 2],
@@ -733,10 +733,18 @@ def splat_frame(cfg: CameraConfig, rc: RenderConfig, scene, stream,
             slot_vals[:, 3],
             depth_src, jnp.arange(n, dtype=dtype),
             starts_hi,
-        ], 0)                                         # [17, N]
+        ]
         nt = -(-n // _TS_CHUNK) * _TS_CHUNK
-        table = jnp.zeros((TBL_ROWS, nt), dtype).at[:, pos].set(
-            cols16, mode="drop"
+        # compaction by STABLE SORT on the granted flag: the compact column
+        # of sample j is still pos[j] (its granted-prefix count), but one
+        # 18-operand sort at [N] beats the [17, N] scatter ~4x (XLA lowers
+        # scatter as sort+combine with padded 2-D update windows)
+        sort_ops = jax.lax.sort(
+            ((~has).astype(jnp.int32),) + tuple(cols17),
+            num_keys=1, is_stable=True,
+        )
+        table = jnp.pad(
+            jnp.stack(sort_ops[1:], 0), ((0, 0), (0, nt - n))
         )
         tb = (src[::_TS_CHUNK] // _TS_CHUNK).astype(jnp.int32)
         if differentiable:

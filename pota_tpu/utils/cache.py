@@ -17,9 +17,15 @@ _DEFAULT_DIR = os.path.join(
 def enable_compilation_cache(path: str | None = None) -> None:
     import jax
 
+    if jax.default_backend() == "cpu":
+        # CPU compiles round-trip the axon remote-compile service, whose AOT
+        # results carry THAT machine's CPU features; loading them locally
+        # warned about SIGILL for rounds and now actually SEGFAULTS the
+        # process (r5: two full-suite runs crashed inside
+        # backend_compile_and_load).  The cache never helped CPU runs here
+        # (NOTES r3) — keep it off.
+        return
     cache_dir = path or os.environ.get("POTA_JAX_CACHE", _DEFAULT_DIR)
-    # key by backend: CPU AOT results compiled through the axon remote-compile
-    # tunnel carry that machine's CPU features and SIGILL-warn locally
     cache_dir = os.path.join(cache_dir, jax.default_backend())
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)

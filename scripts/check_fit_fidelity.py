@@ -15,6 +15,7 @@ import re
 import sys
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ.pop("PALLAS_AXON_REMOTE_COMPILE", None)  # compile locally on CPU
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np

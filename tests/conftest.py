@@ -18,6 +18,13 @@ if "host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
+# POTA_LOCAL_COMPILE=1 forces fully local CPU compiles (no axon
+# remote-compile round-trips).  Local compiles are crash-isolated but MUCH
+# slower on this 2-vCPU host (fast tier 11 min vs 4.5; the sharded slow
+# tier exceeds 30 min) — the remote service stays the default.  The flag
+# is read at compile time, so popping here is sufficient.
+if os.environ.get("POTA_LOCAL_COMPILE"):
+    os.environ.pop("PALLAS_AXON_REMOTE_COMPILE", None)
 
 import jax  # noqa: E402
 
